@@ -1,0 +1,47 @@
+from .sample import Sample, reserved_keys
+from .parsers import Parser, WIDERFACEParser, COCOParser, TT100KParser
+from .dataset import Dataset
+from .dataset_samplers import (
+    BaseDatasetSampler,
+    RandomDatasetSampler,
+    COCORandomDatasetSampler,
+    RandomWithNegDatasetSampler,
+)
+from .region_samplers import (
+    BaseRegionSampler,
+    TypicalCOCOTrainingRegionSampler,
+    RandomBBoxCropRegionSampler,
+    RandomBBoxCropWithRangeSelectionRegionSampler,
+    IdleRegionSampler,
+    crop_from_image,
+)
+from .augmentation import (
+    Compose,
+    HorizontalFlip,
+    Normalize,
+    BGR2RGB,
+    caffe_imagenet_normalize,
+    standard_normalize,
+    simple_normalize,
+    simple_widerface_train_pipeline,
+    simple_widerface_val_pipeline,
+    typical_coco_train_pipeline,
+    typical_coco_val_pipeline,
+)
+from .loader import DataLoader, pad_annotations
+
+__all__ = [
+    "Sample", "reserved_keys",
+    "Parser", "WIDERFACEParser", "COCOParser", "TT100KParser",
+    "Dataset",
+    "BaseDatasetSampler", "RandomDatasetSampler", "COCORandomDatasetSampler",
+    "RandomWithNegDatasetSampler",
+    "BaseRegionSampler", "TypicalCOCOTrainingRegionSampler",
+    "RandomBBoxCropRegionSampler", "RandomBBoxCropWithRangeSelectionRegionSampler",
+    "IdleRegionSampler", "crop_from_image",
+    "Compose", "HorizontalFlip", "Normalize", "BGR2RGB",
+    "caffe_imagenet_normalize", "standard_normalize", "simple_normalize",
+    "simple_widerface_train_pipeline", "simple_widerface_val_pipeline",
+    "typical_coco_train_pipeline", "typical_coco_val_pipeline",
+    "DataLoader", "pad_annotations",
+]

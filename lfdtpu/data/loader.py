@@ -1,0 +1,170 @@
+# Threaded host DataLoader (reference `lfd/data_pipeline/data_loader/
+# data_loader.py:11-165`), re-targeted at a jitted consumer.
+#
+# Same worker model: an index queue feeds N daemon threads; each thread
+# decodes -> region-samples -> augments -> assembles a batch into a bounded
+# queue (prefetch hides host latency behind device steps).
+#
+# TPU-first differences:
+#   - images stay NHWC (TPU conv-native); float32 (or uint8 when the
+#     normalizer runs on device).
+#   - annotations are emitted BOTH in the reference's ragged per-sample form
+#     and as fixed-shape padded arrays (B, Nmax) ready for the jitted train
+#     step (gt_bboxes, gt_labels, gt_mask) — no per-step host reformatting.
+
+from __future__ import annotations
+
+import queue
+import threading
+
+import numpy as np
+
+from .jpeg import decode as jpeg_decode
+from .sample import reserved_keys
+
+__all__ = ["DataLoader", "pad_annotations"]
+
+
+def pad_annotations(annotation_batch, max_boxes):
+    """Ragged [(bboxes (n,4), labels (n,)), ...] -> padded arrays.
+
+    Returns (gt_bboxes (B, Nmax, 4) f32 xywh, gt_labels (B, Nmax) i32,
+    gt_mask (B, Nmax) bool). Overflowing boxes are dropped (Nmax should be
+    sized to the dataset's crop statistics)."""
+    B = len(annotation_batch)
+    gt = np.zeros((B, max_boxes, 4), np.float32)
+    labels = np.zeros((B, max_boxes), np.int32)
+    mask = np.zeros((B, max_boxes), bool)
+    for i, (bboxes, lbls) in enumerate(annotation_batch):
+        n = min(len(bboxes), max_boxes)
+        if n:
+            gt[i, :n] = bboxes[:n]
+            labels[i, :n] = lbls[:n]
+            mask[i, :n] = True
+    return gt, labels, mask
+
+
+class DataLoader:
+    def __init__(
+        self,
+        dataset,
+        dataset_sampler,
+        region_sampler,
+        augmentation_pipeline=None,
+        num_workers=1,
+        max_boxes_per_image=100,
+        pad_divisor=None,
+    ):
+        self._dataset = dataset
+        self._dataset_sampler = dataset_sampler
+        self._loops = len(dataset_sampler)
+        self._batch_size = dataset_sampler.get_batch_size()
+        self._region_sampler = region_sampler
+        self._augmentation_pipeline = augmentation_pipeline
+        self._num_workers = num_workers
+        self._max_boxes = max_boxes_per_image
+        self._pad_divisor = pad_divisor
+
+        self._index_queue = queue.Queue()
+        self._batch_queue = queue.Queue(maxsize=max(num_workers, 1))
+        self._started = False
+
+    def _start_workers(self):
+        for _ in range(self._num_workers):
+            threading.Thread(target=self._worker_func, daemon=True).start()
+        self._started = True
+
+    @staticmethod
+    def _decode_image(sample):
+        """decode priority: in-memory array > bytes > path
+        (`data_loader.py:48-65`)."""
+        if "image" in sample:
+            return sample["image"]
+        if "image_bytes" in sample:
+            return jpeg_decode(sample["image_bytes"])
+        if "image_path" in sample:
+            with open(sample["image_path"], "rb") as f:
+                return jpeg_decode(f.read())
+        raise ValueError('sample does not have "image", "image_bytes" or "image_path"!')
+
+    def _assemble_images(self, image_batch):
+        """Right/bottom zero-pad to batch max (H, W), NHWC float32
+        (`data_loader.py:70-85` — which then went NCHW; TPU stays NHWC)."""
+        hmax = max(im.shape[0] for im in image_batch)
+        wmax = max(im.shape[1] for im in image_batch)
+        if self._pad_divisor:
+            d = self._pad_divisor
+            hmax = (hmax + d - 1) // d * d
+            wmax = (wmax + d - 1) // d * d
+        out = np.zeros((len(image_batch), hmax, wmax, 3), dtype=np.float32)
+        for i, im in enumerate(image_batch):
+            out[i, : im.shape[0], : im.shape[1]] = im
+        return out
+
+    def _process_one(self, sample_index):
+        sample = self._dataset[sample_index]
+        sample_temp = {}
+        if "bboxes" in sample:
+            sample_temp["bboxes"] = sample["bboxes"]
+            sample_temp["bbox_labels"] = sample["bbox_labels"]
+        for meta_key in set(sample.keys()) - set(reserved_keys):
+            sample_temp[meta_key] = sample[meta_key]
+
+        image = self._decode_image(sample)
+        assert image is not None
+        sample_temp["image"] = image
+        sample_temp = self._region_sampler(sample_temp)
+        if sample_temp["image"].ndim == 2:  # gray -> 3 channels
+            sample_temp["image"] = np.repeat(sample_temp["image"][..., None], 3, axis=-1)
+        if self._augmentation_pipeline is not None:
+            sample_temp = self._augmentation_pipeline(sample_temp)
+        return sample_temp
+
+    def _worker_func(self):
+        while True:
+            index_batch = self._index_queue.get()
+            images, annotations, metas = [], [], []
+            for sample_index in index_batch:
+                s = self._process_one(sample_index)
+                images.append(s["image"])
+                if "bboxes" in s:
+                    annotations.append(
+                        (
+                            np.asarray(s["bboxes"], np.float32).reshape(-1, 4),
+                            np.asarray(s["bbox_labels"], np.int64),
+                        )
+                    )
+                else:
+                    annotations.append(
+                        (np.empty((0, 4), np.float32), np.empty((0,), np.int64))
+                    )
+                meta_keys = set(s.keys()) - set(reserved_keys)
+                metas.append({k: s[k] for k in meta_keys} if meta_keys else None)
+
+            image_batch = self._assemble_images(images)
+            gt, labels, mask = pad_annotations(annotations, self._max_boxes)
+            self._batch_queue.put(
+                dict(
+                    images=image_batch,
+                    annotations=annotations,
+                    gt_bboxes=gt,
+                    gt_labels=labels,
+                    gt_mask=mask,
+                    meta=metas,
+                )
+            )
+
+    def __iter__(self):
+        if not self._started:
+            self._start_workers()
+        for index_batch in self._dataset_sampler:
+            self._index_queue.put(index_batch)
+        for _ in range(self._loops):
+            yield self._batch_queue.get()
+
+    def __len__(self):
+        return self._loops
+
+    @property
+    def batch_size(self):
+        return self._batch_size

@@ -1,0 +1,416 @@
+# LFD detector (reference `lfd/model/lfd.py:15-800`), TPU-first.
+#
+# Design notes (vs the reference):
+#   - The conv net is a Flax module returning (B, P, C) / (B, P, 4) dense
+#     outputs (same NCHW->(N, HW, C) reformat+concat contract as
+#     `lfd.py:524-542`, in NHWC).
+#   - Target assignment runs *inside* the jitted loss on device, fully
+#     vectorized over padded GT arrays (the reference loops images on CPU,
+#     `lfd.py:109-153` — SURVEY.md flags this as the thing to fuse).
+#   - get_loss is a pure function of (outputs, padded annotations) so the
+#     whole train step jits and shards.
+#   - Prediction pads the input to a resolution bucket, masks points that
+#     fall in the padding, and runs one fused jit (forward + decode + NMS)
+#     per bucket; results convert to the reference's
+#     [class_label, score, x1, y1, w, h] rows (`lfd.py:646-654`).
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import assign as assign_ops
+from ..ops import boxes as box_ops
+from ..ops import points as point_ops
+from ..ops.decode import DecodeSpec, decode_predictions, detections_to_lists
+from ..ops.loss_wrappers import (
+    INDEPENDENT_REGRESSION_LOSSES,
+    UNION_REGRESSION_LOSSES,
+)
+
+
+class DetectionNet(nn.Module):
+    """backbone -> neck -> head -> dense (B, P, C)/(B, P, 4) outputs."""
+
+    backbone: nn.Module
+    neck: Optional[nn.Module]
+    head: nn.Module
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        feats = self.backbone(x, train=train)
+        if self.neck is not None:
+            feats = self.neck(feats, train=train)
+        head_outs = self.head(feats, train=train)
+        flat = []
+        for outs in head_outs:
+            flat.append(
+                jnp.concatenate(
+                    [o.reshape(o.shape[0], -1, o.shape[-1]) for o in outs], axis=1
+                )
+            )
+        return tuple(flat)
+
+
+def _loss_name(loss):
+    return type(loss).__name__
+
+
+def pad_to_multiple(image: np.ndarray, multiple: int):
+    """Right/bottom zero-pad HWC image to a multiple (same padding scheme the
+    reference's batch assembly uses, `data_loader.py:70-85`)."""
+    h, w = image.shape[:2]
+    ph = (h + multiple - 1) // multiple * multiple
+    pw = (w + multiple - 1) // multiple * multiple
+    if ph == h and pw == w:
+        return image
+    out = np.zeros((ph, pw) + image.shape[2:], dtype=image.dtype)
+    out[:h, :w] = image
+    return out
+
+
+class LFD:
+    """Anchor-free multi-scale detector with soft center-score targets.
+
+    Public surface mirrors `lfd/model/lfd.py`: forward, get_loss,
+    get_results, predict_for_single_image; plus functional helpers
+    (init, loss_fn) used by the Executor.
+    """
+
+    ASSIGN_MODES = ("longer", "shorter", "sqrt", "dist")
+    detector_name = "LFD"
+
+    def __init__(
+        self,
+        backbone=None,
+        neck=None,
+        head=None,
+        num_classes=80,
+        regression_ranges=((0, 64), (64, 128), (128, 256), (256, 512), (512, 1024)),
+        gray_range_factors=(0.9, 1.1),
+        range_assign_mode="dist",
+        point_strides=(8, 16, 32, 64, 128),
+        classification_loss_func=None,
+        regression_loss_func=None,
+        distance_to_bbox_mode="exp",
+        enable_classification_weight=False,
+        enable_regression_weight=False,
+        classification_threshold=0.05,
+        nms_threshold=0.4,
+        pre_nms_bbox_limit=1000,
+        post_nms_bbox_limit=100,
+    ):
+        assert len(regression_ranges) == len(point_strides)
+        assert range_assign_mode in self.ASSIGN_MODES
+        assert distance_to_bbox_mode in ("exp", "sigmoid")
+        self.net = DetectionNet(backbone=backbone, neck=neck, head=head)
+        self.backbone, self.neck, self.head = backbone, neck, head
+        self.num_classes = num_classes
+        self.regression_ranges = tuple(tuple(r) for r in regression_ranges)
+        self.gray_range_factors = (min(gray_range_factors), max(gray_range_factors))
+        self.gray_ranges = point_ops.compute_gray_ranges(
+            self.regression_ranges, self.gray_range_factors
+        )
+        self.range_assign_mode = range_assign_mode
+        self.point_strides = tuple(int(s) for s in point_strides)
+        self.num_heads = len(self.point_strides)
+        self.classification_loss_func = classification_loss_func
+        self.regression_loss_func = regression_loss_func
+        cls_name = _loss_name(classification_loss_func)
+        reg_name = _loss_name(regression_loss_func)
+        assert cls_name in (
+            "BCEWithLogitsLoss", "FocalLoss", "CrossEntropyLoss", "QualityFocalLoss",
+        )
+        assert reg_name in INDEPENDENT_REGRESSION_LOSSES + UNION_REGRESSION_LOSSES
+        self.classification_loss_type = cls_name
+        self.regression_loss_type = (
+            "independent" if reg_name in INDEPENDENT_REGRESSION_LOSSES else "union"
+        )
+        self.distance_to_bbox_mode = distance_to_bbox_mode
+        self.enable_classification_weight = enable_classification_weight
+        self.enable_regression_weight = enable_regression_weight
+        self.classification_threshold = classification_threshold
+        self.nms_threshold = nms_threshold
+        self.pre_nms_bbox_limit = pre_nms_bbox_limit
+        self.post_nms_bbox_limit = post_nms_bbox_limit
+        self._predict_cache = {}
+
+    # ----------------------------------------------------------------- net
+    @property
+    def cls_channels(self):
+        return (
+            self.num_classes + 1
+            if self.classification_loss_type == "CrossEntropyLoss"
+            else self.num_classes
+        )
+
+    def init(self, rng, input_hw=(256, 256), batch_size=1, train=True):
+        x = jnp.zeros((batch_size, input_hw[0], input_hw[1], 3), jnp.float32)
+        return self.net.init(rng, x, train=train)
+
+    def forward(self, variables, images, train=False):
+        """Returns ((cls, reg), new_batch_stats_or_None)."""
+        if train:
+            outs, mutated = self.net.apply(
+                variables, images, train=True, mutable=["batch_stats"]
+            )
+            return outs, mutated
+        return self.net.apply(variables, images, train=False), None
+
+    def __call__(self, variables, images, train=False):
+        return self.forward(variables, images, train=train)[0]
+
+    # --------------------------------------------------------- level info
+    @functools.lru_cache(maxsize=64)
+    def _level_info_np(self, input_hw: Tuple[int, int]):
+        sizes = point_ops.feature_map_sizes_for_input(input_hw, self.point_strides)
+        return point_ops.concat_level_info(
+            sizes, self.point_strides, self.regression_ranges, self.gray_ranges
+        )
+
+    def level_info(self, input_hw):
+        return self._level_info_np((int(input_hw[0]), int(input_hw[1])))
+
+    def num_points(self, input_hw):
+        return self.level_info(input_hw)["points"].shape[0]
+
+    # -------------------------------------------------------------- loss
+    def _assign_single(self, info, gt_bboxes, gt_labels, gt_mask):
+        return assign_ops.lfd_assign(
+            jnp.asarray(info["points"]),
+            jnp.asarray(info["strides"]),
+            jnp.asarray(info["ranges"]),
+            jnp.asarray(info["gray_ranges"]),
+            gt_bboxes,
+            gt_labels,
+            gt_mask,
+            self.num_classes,
+            range_assign_mode=self.range_assign_mode,
+            normalize_by_range=self.regression_loss_type == "independent",
+        )
+
+    def get_loss(self, predict_outputs, gt_bboxes, gt_labels, gt_mask, input_hw):
+        """Pure jit-friendly loss (`lfd/model/lfd.py:284-395` semantics).
+
+        Args:
+          predict_outputs: (cls (B, P, Cc), reg (B, P, 4)).
+          gt_bboxes: (B, Nmax, 4) float xywh, zero-padded.
+          gt_labels: (B, Nmax) int32.
+          gt_mask: (B, Nmax) bool.
+          input_hw: static (h, w) of the network input.
+        """
+        cls_pred, reg_pred = predict_outputs
+        B, P = cls_pred.shape[0], cls_pred.shape[1]
+        info = self.level_info(input_hw)
+        assert info["points"].shape[0] == P, (info["points"].shape, P)
+
+        cls_t, reg_t = jax.vmap(
+            lambda b, l, m: self._assign_single(info, b, l, m)
+        )(gt_bboxes, gt_labels.astype(jnp.int32), gt_mask)
+
+        cls_pred_f = cls_pred.reshape(-1, self.cls_channels)
+        reg_pred_f = reg_pred.reshape(-1, 4)
+        cls_t_f = cls_t.reshape(-1, self.num_classes)
+        reg_t_f = reg_t.reshape(-1, 4)
+
+        # gray rows dropped; positives = max score >= 0.001 (`lfd.py:314-323`)
+        min_scores = jnp.min(cls_t_f, axis=-1)
+        valid_row = (min_scores >= 0).astype(cls_pred_f.dtype)
+        max_scores = jnp.max(cls_t_f, axis=-1)
+        max_idx = jnp.argmax(cls_t_f, axis=-1).astype(jnp.int32)
+        pos_row = valid_row * (max_scores >= 0.001).astype(cls_pred_f.dtype)
+        num_pos = jnp.sum(pos_row)
+        weight = max_scores * pos_row
+
+        cls_avg = (
+            jnp.sum(weight)
+            if self.enable_classification_weight
+            else num_pos + 1.0
+        )
+
+        cname = self.classification_loss_type
+        if cname in ("FocalLoss", "CrossEntropyLoss", "QualityFocalLoss"):
+            labels = jnp.where(
+                pos_row > 0, max_idx, self.num_classes
+            ).astype(jnp.int32)
+            if cname == "QualityFocalLoss":
+                cls_loss = self.classification_loss_func(
+                    cls_pred_f, (labels, max_scores), weight=valid_row, avg_factor=cls_avg
+                )
+            elif cname == "FocalLoss":
+                cls_loss = self.classification_loss_func(
+                    cls_pred_f, labels, weight=valid_row, avg_factor=cls_avg
+                )
+            else:  # CrossEntropyLoss over C+1 channels
+                cls_loss = self.classification_loss_func(
+                    cls_pred_f, labels, weight=valid_row, avg_factor=cls_avg
+                )
+        else:  # BCEWithLogitsLoss on soft score targets
+            cls_loss = self.classification_loss_func(
+                cls_pred_f,
+                jnp.clip(cls_t_f, 0.0, None),
+                weight=valid_row[:, None],
+                avg_factor=cls_avg,
+            )
+
+        reg_weight_rows = weight if self.enable_regression_weight else pos_row
+        reg_avg = jnp.maximum(
+            jnp.sum(weight) if self.enable_regression_weight else num_pos, 1e-6
+        )
+
+        if self.regression_loss_type == "independent":
+            reg_loss = self.regression_loss_func(
+                reg_pred_f,
+                reg_t_f,
+                weight=reg_weight_rows[:, None],
+                avg_factor=reg_avg,
+            )
+        else:
+            points = jnp.asarray(info["points"])
+            ranges = jnp.asarray(info["ranges"])
+            pts_f = jnp.tile(points, (B, 1))
+            rng_f = jnp.tile(ranges, (B, 1))
+            target_xyxy = box_ops.distance2bbox(pts_f, reg_t_f)
+            if self.distance_to_bbox_mode == "exp":
+                dist = jnp.exp(reg_pred_f.astype(jnp.float32))
+            else:
+                rmax = jnp.max(rng_f, axis=-1, keepdims=True)
+                dist = jax.nn.sigmoid(reg_pred_f.astype(jnp.float32)) * rmax
+            pred_xyxy = box_ops.distance2bbox(pts_f, dist)
+            reg_loss = self.regression_loss_func(
+                pred_xyxy, target_xyxy, weight=reg_weight_rows, avg_factor=reg_avg
+            )
+
+        loss = cls_loss + reg_loss
+        return dict(
+            loss=loss,
+            loss_values=dict(
+                loss=loss,
+                classification_loss=cls_loss,
+                regression_loss=reg_loss,
+                num_pos=num_pos,
+            ),
+        )
+
+    # ------------------------------------------------------------ decode
+    def decode_spec(self, classification_threshold=None, nms_threshold=None,
+                    class_agnostic=False, max_det=None):
+        if self.regression_loss_type == "independent":
+            reg_mode = "independent"
+        else:
+            reg_mode = self.distance_to_bbox_mode
+        return DecodeSpec(
+            num_classes=self.num_classes,
+            use_softmax=self.classification_loss_type == "CrossEntropyLoss",
+            reg_mode=reg_mode,
+            score_thr=float(
+                self.classification_threshold
+                if classification_threshold is None
+                else classification_threshold
+            ),
+            nms_iou=float(
+                self.nms_threshold if nms_threshold is None else nms_threshold
+            ),
+            pre_nms_points=self.pre_nms_bbox_limit,
+            nms_budget=self.pre_nms_bbox_limit,
+            max_det=self.post_nms_bbox_limit if max_det is None else max_det,
+            class_agnostic=class_agnostic,
+        )
+
+    def decode_single(self, outputs_single, input_hw, valid_hw, spec):
+        """Decode one image's (P, Cc)/(P, 4) outputs. valid_hw is the unpadded
+        (h, w) extent (traced or static)."""
+        cls_o, reg_o = outputs_single
+        info = self.level_info(input_hw)
+        points = jnp.asarray(info["points"])
+        ranges = jnp.asarray(info["ranges"])
+        h, w = valid_hw
+        point_valid = (points[:, 0] < w) & (points[:, 1] < h)
+        return decode_predictions(
+            cls_o, reg_o, points, ranges, spec,
+            (h, w), point_valid=point_valid,
+        )
+
+    # ------------------------------------------------- reference-API paths
+    def get_results(self, variables, images, meta_batch,
+                    classification_threshold=None, nms_threshold=None):
+        """Batched eval decode for the Executor's val loop
+        (`lfd.py:397-430`). images: (B, H, W, 3) device-ready array."""
+        spec = self.decode_spec(classification_threshold, nms_threshold)
+        input_hw = (int(images.shape[1]), int(images.shape[2]))
+        cls_o, reg_o = self.__call__(variables, images, train=False)
+        results = []
+        for i in range(images.shape[0]):
+            meta = meta_batch[i] or {}
+            vh = meta.get("resized_height", input_hw[0])
+            vw = meta.get("resized_width", input_hw[1])
+            scale = meta.get("resize_scale", 1.0)
+            decoded = self.decode_single(
+                (cls_o[i], reg_o[i]), input_hw,
+                (jnp.float32(vh), jnp.float32(vw)), spec,
+            )
+            results.append(detections_to_lists(decoded, resize_scale=scale))
+        return results
+
+    def _predict_jit(self, input_hw, spec):
+        key = (input_hw, spec)
+        if key not in self._predict_cache:
+
+            @jax.jit
+            def run(variables, image, valid_hw):
+                outs = self.net.apply(variables, image[None], train=False)
+                return self.decode_single(
+                    (outs[0][0], outs[1][0]), input_hw, (valid_hw[0], valid_hw[1]), spec
+                )
+
+            self._predict_cache[key] = run
+        return self._predict_cache[key]
+
+    def predict_for_single_image(
+        self,
+        variables,
+        image,
+        aug_pipeline=None,
+        classification_threshold=None,
+        nms_threshold=None,
+        class_agnostic=False,
+        size_divisor=None,
+    ):
+        """Single-image prediction (`lfd/model/lfd.py:544-655`).
+
+        image: path or HWC numpy array (BGR, like the reference's cv2 flow).
+        Returns [[class_label, score, x1, y1, w, h], ...].
+        """
+        import cv2
+
+        if isinstance(image, str):
+            image = cv2.imread(image, cv2.IMREAD_UNCHANGED)
+            assert image is not None, "image is None, confirm that the path is valid!"
+        if aug_pipeline is not None:
+            from ..data.sample import Sample
+
+            sample = Sample()
+            sample["image"] = image
+            sample = aug_pipeline(sample)
+            image = sample["image"]
+        image = np.asarray(image, dtype=np.float32)
+        if image.ndim == 2:
+            image = np.tile(image[..., None], (1, 1, 3))
+        h, w = image.shape[:2]
+        divisor = size_divisor or max(self.point_strides)
+        padded = pad_to_multiple(image, divisor)
+        input_hw = padded.shape[:2]
+        spec = self.decode_spec(
+            classification_threshold, nms_threshold, class_agnostic=class_agnostic
+        )
+        run = self._predict_jit(tuple(int(v) for v in input_hw), spec)
+        decoded = run(
+            variables, jnp.asarray(padded), jnp.asarray([h, w], jnp.float32)
+        )
+        return detections_to_lists(decoded)

@@ -1,0 +1,175 @@
+# Fused dense-prediction decode: scores -> top-k -> distance2bbox -> NMS.
+#
+# The reference decodes per level with dynamic-shape threshold filters and
+# runs NMS in a CUDA extension (`lfd/model/lfd.py:577-641`,
+# `lfd/model/lfdv2.py:593-669`). On TPU everything is one jitted function
+# with static shapes:
+#
+#   stage 1: per-point max-class score -> lax.top_k over all P points
+#   stage 2: expand the kept points to (Kp * C) (point, class) pairs,
+#            mask by score_thr, lax.top_k down to the NMS budget
+#   stage 3: decode distances for the kept points only, class-offset NMS,
+#            emit a fixed (max_det, 6) result + valid count.
+#
+# This is exact w.r.t. the reference whenever the number of above-threshold
+# candidates fits in the static budgets — guaranteed in practice (budgets
+# default to 1000+ vs typically <300 survivors at thr=0.05).
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class DecodeSpec:
+    """Static decode configuration (hashable -> usable as jit static arg)."""
+
+    num_classes: int
+    use_softmax: bool = False  # CrossEntropyLoss head: C+1 channels, softmax
+    reg_mode: str = "exp"  # 'exp' | 'sigmoid' | 'independent'
+    score_thr: float = 0.05
+    nms_iou: float = 0.4
+    pre_nms_points: int = 1000  # stage-1 top-k over points
+    nms_budget: int = 1000  # stage-2 candidate budget fed to NMS
+    max_det: int = 100
+    class_agnostic: bool = False
+
+
+def _decode_distances(reg, points, ranges, mode):
+    """Distance head -> (l, t, r, b) in pixels (`lfd.py:604-625`)."""
+    if mode == "exp":
+        return jnp.exp(reg.astype(jnp.float32))
+    if mode == "sigmoid":
+        range_max = jnp.max(ranges, axis=-1, keepdims=True)
+        return jax.nn.sigmoid(reg.astype(jnp.float32)) * range_max
+    if mode == "independent":
+        return reg * ranges[..., 1, None]
+    raise ValueError(f"unknown reg mode {mode}")
+
+
+@partial(jax.jit, static_argnames=("spec",))
+def decode_predictions(
+    cls_logits,
+    reg,
+    points,
+    ranges,
+    spec: DecodeSpec,
+    image_hw,
+    point_valid=None,
+    score_factors=None,
+):
+    """Decode one image's dense predictions into final detections.
+
+    Args:
+      cls_logits: (P, C) logits — or (P, C+1) when spec.use_softmax.
+      reg: (P, 4) regression outputs.
+      points: (P, 2) point coordinates (trace-time constants).
+      ranges: (P, 2) per-point regression ranges.
+      spec: DecodeSpec (static).
+      image_hw: (h, w) used for box clamping — the *valid* image extent
+        inside a padded input. May be python ints or traced scalars (one
+        compiled program serves any actual extent at a fixed P).
+      point_valid: optional (P,) bool masking points that fall inside
+        padding; such points can never produce detections.
+      score_factors: optional (P,) multiplier (FCOS centerness,
+        `fcos.py:403-410`).
+
+    Returns dict with:
+      boxes:  (max_det, 4) xyxy (clamped to image_hw)
+      scores: (max_det,)
+      labels: (max_det,) int32
+      count:  () int32 number of valid rows; rows >= count are zero.
+    """
+    P = cls_logits.shape[0]
+    C = spec.num_classes
+
+    if spec.use_softmax:
+        probs = jax.nn.softmax(cls_logits, axis=-1)[:, :C]  # drop bg column
+    else:
+        probs = jax.nn.sigmoid(cls_logits)
+    if score_factors is not None:
+        probs = probs * score_factors[:, None]
+    if point_valid is not None:
+        probs = jnp.where(point_valid[:, None], probs, 0.0)
+
+    # stage 1: top points by max-class score
+    kp = min(spec.pre_nms_points, P)
+    point_max = jnp.max(probs, axis=-1)
+    top_scores, top_idx = jax.lax.top_k(point_max, kp)  # (Kp,)
+
+    sel_probs = probs[top_idx]  # (Kp, C)
+    sel_reg = reg[top_idx]
+    sel_points = points[top_idx]
+    sel_ranges = ranges[top_idx]
+
+    # stage 2: (point, class) pairs above threshold, top nms_budget
+    flat_scores = sel_probs.reshape(-1)  # (Kp * C,)
+    flat_valid = flat_scores > spec.score_thr
+    kb = min(spec.nms_budget, kp * C)
+    cand_scores, cand_flat = jax.lax.top_k(
+        jnp.where(flat_valid, flat_scores, -1.0), kb
+    )
+    cand_point = cand_flat // C
+    cand_label = (cand_flat % C).astype(jnp.int32)
+    cand_valid = cand_scores > spec.score_thr
+
+    # stage 3: decode candidate boxes and run NMS
+    dist = _decode_distances(
+        sel_reg[cand_point], sel_points[cand_point], sel_ranges[cand_point], spec.reg_mode
+    )
+    px = sel_points[cand_point]
+    h, w = image_hw
+    x1 = jnp.clip(px[:, 0] - dist[:, 0], 0, w)
+    y1 = jnp.clip(px[:, 1] - dist[:, 1], 0, h)
+    x2 = jnp.clip(px[:, 0] + dist[:, 2], 0, w)
+    y2 = jnp.clip(px[:, 1] + dist[:, 3], 0, h)
+    boxes = jnp.stack([x1, y1, x2, y2], axis=-1)
+
+    from .nms import batched_nms_jax
+
+    keep = batched_nms_jax(
+        boxes,
+        cand_scores,
+        cand_label,
+        spec.nms_iou,
+        valid=cand_valid,
+        class_agnostic=spec.class_agnostic,
+    )
+
+    neg_inf = jnp.asarray(-jnp.inf, cand_scores.dtype)
+    order = jnp.argsort(jnp.where(keep, cand_scores, neg_inf))[::-1]
+    md = spec.max_det
+    out_idx = order[:md]
+    out_keep = keep[out_idx]
+    count = jnp.sum(out_keep.astype(jnp.int32))
+
+    zero = jnp.zeros((md,), boxes.dtype)
+    out = dict(
+        boxes=jnp.where(out_keep[:, None], boxes[out_idx], 0.0),
+        scores=jnp.where(out_keep, cand_scores[out_idx], zero),
+        labels=jnp.where(out_keep, cand_label[out_idx], 0).astype(jnp.int32),
+        count=count,
+    )
+    return out
+
+
+def detections_to_lists(decoded, resize_scale=1.0):
+    """Host-side: fixed-size decode output -> reference result rows
+    [class_label, score, x1, y1, w, h] with w = x2-x1+1 (`lfd.py:646-654`)."""
+    import numpy as np
+
+    count = int(decoded["count"])
+    boxes = np.asarray(decoded["boxes"])[:count] / float(resize_scale)
+    scores = np.asarray(decoded["scores"])[:count]
+    labels = np.asarray(decoded["labels"])[:count]
+    results = []
+    for i in range(count):
+        x1, y1, x2, y2 = boxes[i]
+        results.append(
+            [int(labels[i]), float(scores[i]), float(x1), float(y1), float(x2 - x1 + 1), float(y2 - y1 + 1)]
+        )
+    return results

@@ -1,0 +1,118 @@
+# Data-parallel train/eval steps: one jitted program over a Mesh.
+#
+# Replaces the reference's DataParallel scatter/gather + host-side
+# OptimizerHook backward/clip/step (`lfd/execution/executor.py:39,185-214`,
+# `hooks/optimizer_hook.py:22-37`) with a single compiled function:
+#   forward -> assign targets (on device) -> loss -> grad -> clip -> update
+# Batches are sharded over the `data` mesh axis; since loss normalizers
+# (num_pos) are global sums, XLA inserts the cross-replica psum — semantics
+# are global-batch synchronous SGD (and sync-BN; the reference's per-GPU BN
+# is a DataParallel artifact, noted per SURVEY.md §7 BatchNorm risk).
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ..execution.optim import clip_by_global_norm, global_norm
+from .mesh import batch_sharding, replicated_sharding
+
+
+class TrainState(struct.PyTreeNode):
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+
+def create_train_state(detector, optimizer, rng, input_hw, batch_size=1):
+    variables = detector.init(rng, input_hw, batch_size=batch_size, train=True)
+    params = variables["params"]
+    return TrainState(
+        params=params,
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=optimizer.init(params),
+    )
+
+
+def make_train_step(
+    detector,
+    optimizer,
+    input_hw,
+    mesh=None,
+    clip_max_norm: float = 0.0,
+    donate: bool = True,
+    remat: bool = False,
+):
+    """Build the jitted data-parallel train step.
+
+    Returns step(state, images, gt_bboxes, gt_labels, gt_mask, lr,
+    clip_enabled) -> (state, metrics dict of scalars).
+    """
+    input_hw = (int(input_hw[0]), int(input_hw[1]))
+
+    def _step(state, images, gt_bboxes, gt_labels, gt_mask, lr, clip_enabled):
+        def loss_fn(params):
+            fwd = detector.forward
+            if remat:
+                fwd = jax.checkpoint(
+                    lambda v, im: detector.forward(v, im, train=True),
+                    static_argnums=(),
+                )
+                outs, mutated = fwd(
+                    {"params": params, "batch_stats": state.batch_stats}, images
+                )
+            else:
+                outs, mutated = detector.forward(
+                    {"params": params, "batch_stats": state.batch_stats},
+                    images,
+                    train=True,
+                )
+            ld = detector.get_loss(outs, gt_bboxes, gt_labels, gt_mask, input_hw)
+            return ld["loss"], (mutated["batch_stats"], ld["loss_values"])
+
+        (loss, (new_bs, loss_values)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+
+        if clip_max_norm > 0:
+            grads, grad_norm = clip_by_global_norm(grads, clip_max_norm, clip_enabled)
+        else:
+            grad_norm = global_norm(grads)
+
+        updates, new_opt = optimizer.update(grads, state.opt_state, state.params, lr)
+        new_params = jax.tree.map(lambda p, u: p + u, state.params, updates)
+        new_state = TrainState(new_params, new_bs, new_opt)
+        metrics = dict(loss_values)
+        metrics["grad_norm"] = grad_norm
+        return new_state, metrics
+
+    if mesh is None:
+        return jax.jit(_step, donate_argnums=(0,) if donate else ())
+
+    bsh = batch_sharding(mesh)
+    rep = replicated_sharding(mesh)
+    return jax.jit(
+        _step,
+        in_shardings=(rep, bsh, bsh, bsh, bsh, rep, rep),
+        out_shardings=(rep, rep),
+        donate_argnums=(0,) if donate else (),
+    )
+
+
+def make_eval_step(detector, mesh=None):
+    """Jitted batched forward for the val loop (dense outputs; per-image
+    decode happens downstream)."""
+
+    def _fwd(state, images):
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        return detector(variables, images, train=False)
+
+    if mesh is None:
+        return jax.jit(_fwd)
+    bsh = batch_sharding(mesh)
+    rep = replicated_sharding(mesh)
+    return jax.jit(_fwd, in_shardings=(rep, bsh), out_shardings=bsh)
