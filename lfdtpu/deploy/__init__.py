@@ -1,0 +1,13 @@
+from .compile import compile_inference, make_device_preprocess, cast_variables
+from .latency import timing_inference, inference_latency_evaluation
+from .quantize import Int8Calibrator, quantize_variables_int8
+
+__all__ = [
+    "compile_inference",
+    "make_device_preprocess",
+    "cast_variables",
+    "timing_inference",
+    "inference_latency_evaluation",
+    "Int8Calibrator",
+    "quantize_variables_int8",
+]

@@ -1,0 +1,101 @@
+# Deployment compilation (the TensorRT-path equivalent,
+# `lfd/deployment/tensorrt/build_engine.py:22-152`).
+#
+# On TPU there is no ONNX/engine step: "building an engine" = jitting an
+# end-to-end function (device preprocess -> conv net -> fused decode -> NMS)
+# at a fixed input resolution and precision:
+#   fp32 -> f32 jit            (reference TRT fp32 engine)
+#   bf16 -> bf16 weights+math  (reference TRT fp16 engine)
+#   int8 -> calibrated int8    (reference TRT int8 engine, see quantize.py)
+# The compiled callable takes a raw uint8 HWC frame (padded to the
+# resolution bucket) and returns fixed-shape detections — including the
+# decode+NMS the reference leaves out of its engines (`lfd.py:722-800`).
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def cast_variables(variables, dtype):
+    """Cast floating-point leaves (params + batch_stats) to `dtype`."""
+
+    def cast(x):
+        if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating):
+            return jnp.asarray(x, dtype)
+        return x
+
+    return jax.tree.map(cast, variables)
+
+
+def make_device_preprocess(mean, std, max_pixel_value=255.0, bgr2rgb=False):
+    """Device-side normalization matching the host Normalize transform
+    (`augmentation_pipeline.py:14-36`): runs inside the jitted engine so the
+    host ships raw uint8 frames (BASELINE.json device-side preprocessing)."""
+    mean = np.asarray(mean, np.float32) * max_pixel_value
+    std = np.asarray(std, np.float32) * max_pixel_value
+
+    def preprocess(image):
+        x = image.astype(jnp.float32)
+        if bgr2rgb:
+            x = x[..., ::-1]
+        return (x - mean) / std
+
+    return preprocess
+
+
+def compile_inference(
+    detector,
+    variables,
+    input_hw,
+    precision="fp32",
+    preprocess=None,
+    classification_threshold=None,
+    nms_threshold=None,
+    class_agnostic=False,
+    max_det=None,
+    batch_size=1,
+):
+    """Build ("compile") one inference engine.
+
+    Returns a jitted fn(images (B, H, W, C) uint8/float, valid_hw (2,) f32)
+    -> decoded dict with fixed-shape boxes/scores/labels/count per image.
+    Call `.lower(...).compile()` happens on first invocation; use
+    latency.timing_inference for warmup-excluded measurement.
+    """
+    input_hw = (int(input_hw[0]), int(input_hw[1]))
+    spec = detector.decode_spec(
+        classification_threshold, nms_threshold, class_agnostic, max_det
+    )
+
+    if precision == "fp32":
+        run_vars = variables
+        compute_dtype = jnp.float32
+    elif precision == "bf16":
+        run_vars = cast_variables(variables, jnp.bfloat16)
+        compute_dtype = jnp.bfloat16
+    elif precision == "int8":
+        # variables must already be int8-calibrated (quantize.py)
+        run_vars = variables
+        compute_dtype = jnp.bfloat16
+    else:
+        raise ValueError(f"unknown precision {precision}")
+
+    @jax.jit
+    def engine(images, valid_hw):
+        x = images
+        if preprocess is not None:
+            x = preprocess(x)
+        x = x.astype(compute_dtype)
+        cls_o, reg_o = detector.net.apply(run_vars, x, train=False)
+        cls_o = cls_o.astype(jnp.float32)
+        reg_o = reg_o.astype(jnp.float32)
+        decode = lambda c, r: detector.decode_single(
+            (c, r), input_hw, (valid_hw[0], valid_hw[1]), spec
+        )
+        return jax.vmap(decode)(cls_o, reg_o)
+
+    return engine

@@ -1,0 +1,73 @@
+# Latency measurement (reference `lfd/deployment/tensorrt/
+# inference_latency_evaluation.py:19-127` — `timing_engine`).
+#
+# Same protocol: warmup loops (compile excluded) then N timed loops with a
+# device sync per loop (`block_until_ready` ≙ cuda stream synchronize);
+# prints ms/image and FPS. Unlike the reference, the engine timed here
+# includes on-device decode + NMS (the TRT numbers exclude them).
+
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def timing_inference(engine, images, valid_hw, warmup_loops=10, timing_loops=100):
+    """Time a compiled engine. Returns dict(ms_per_image, fps)."""
+    images = jnp.asarray(images)
+    valid_hw = jnp.asarray(valid_hw, jnp.float32)
+    batch = images.shape[0]
+    for _ in range(warmup_loops):
+        out = engine(images, valid_hw)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(timing_loops):
+        out = engine(images, valid_hw)
+        jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    ms = dt / timing_loops / batch * 1000.0
+    return dict(ms_per_image=ms, fps=1000.0 / ms)
+
+
+def inference_latency_evaluation(
+    detector,
+    variables,
+    resolutions=((480, 640), (720, 1280), (1080, 1920), (2160, 3840)),
+    precisions=("fp32", "bf16"),
+    preprocess=None,
+    batch_size=1,
+    warmup_loops=10,
+    timing_loops=50,
+    size_divisor=None,
+    verbose=True,
+):
+    """Resolution x precision latency sweep (the reference's
+    `timing_inference_latency.py` benchmark across 640x480..4K)."""
+    from .compile import compile_inference
+
+    divisor = size_divisor or max(detector.point_strides)
+    results = {}
+    for precision in precisions:
+        for (h, w) in resolutions:
+            ph = (h + divisor - 1) // divisor * divisor
+            pw = (w + divisor - 1) // divisor * divisor
+            engine = compile_inference(
+                detector, variables, (ph, pw), precision=precision,
+                preprocess=preprocess, batch_size=batch_size,
+            )
+            images = np.random.randint(
+                0, 255, (batch_size, ph, pw, 3), dtype=np.uint8
+            )
+            r = timing_inference(
+                engine, images, (h, w), warmup_loops, timing_loops
+            )
+            results[(precision, (h, w))] = r
+            if verbose:
+                print(
+                    f"[{precision}] {w}x{h}: {r['ms_per_image']:.2f} ms/image, "
+                    f"{r['fps']:.1f} FPS (end-to-end incl. decode+NMS)"
+                )
+    return results

@@ -67,7 +67,16 @@ class Executor:
 
         self.detector = cfg["model"]
         self.optimizer = cfg["optimizer"]
-        self.mesh = cfg.get("mesh") or make_mesh()
+        self.mesh = cfg.get("mesh")
+        if self.mesh is None:
+            # largest device count that divides the batch (batches shard on
+            # dim 0; the reference likewise requires batch >= len(gpu_list))
+            devices = jax.devices()
+            bs = int(cfg.get("batch_size", 1))
+            n = len(devices)
+            while n > 1 and bs % n != 0:
+                n -= 1
+            self.mesh = make_mesh(devices[:n])
 
         rng = set_random_seed(cfg.get("seed", 0))
         input_hw = cfg.get("input_hw")

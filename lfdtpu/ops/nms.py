@@ -80,6 +80,15 @@ def soft_nms(dets, iou_thr, method="linear", sigma=0.5, min_score=1e-3):
     N = dets.shape[0]
     if N == 0:
         return dets[:, :5], np.zeros((0,), dtype=np.int64)
+    try:
+        from ..native import soft_nms_native
+
+        return soft_nms_native(
+            dets, float(iou_thr), {"linear": 1, "gaussian": 2}[method],
+            float(sigma), float(min_score),
+        )
+    except Exception:
+        pass
     inds = np.arange(N)
     kept_rows = []
     kept_inds = []
