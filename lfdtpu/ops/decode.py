@@ -48,6 +48,10 @@ def _decode_distances(reg, points, ranges, mode):
         return jax.nn.sigmoid(reg.astype(jnp.float32)) * range_max
     if mode == "independent":
         return reg * ranges[..., 1, None]
+    if mode == "direct":
+        # distances already in pixels (FCOS head applies exp internally,
+        # `fcos_head.py:147-148`)
+        return reg.astype(jnp.float32)
     raise ValueError(f"unknown reg mode {mode}")
 
 
@@ -143,8 +147,13 @@ def decode_predictions(
     neg_inf = jnp.asarray(-jnp.inf, cand_scores.dtype)
     order = jnp.argsort(jnp.where(keep, cand_scores, neg_inf))[::-1]
     md = spec.max_det
-    out_idx = order[:md]
-    out_keep = keep[out_idx]
+    if md <= order.shape[0]:
+        out_idx = order[:md]
+        out_keep = keep[out_idx]
+    else:  # fewer candidates than max_det: pad with dead rows
+        pad = md - order.shape[0]
+        out_idx = jnp.concatenate([order, jnp.zeros((pad,), order.dtype)])
+        out_keep = jnp.concatenate([keep[order], jnp.zeros((pad,), bool)])
     count = jnp.sum(out_keep.astype(jnp.int32))
 
     zero = jnp.zeros((md,), boxes.dtype)

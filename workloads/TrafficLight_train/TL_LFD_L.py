@@ -1,0 +1,97 @@
+# -*- coding: utf-8 -*-
+# TrafficLight LFD_L training entry point (reference
+# `TrafficLight_train/TL_LFD_L.py`): QualityFocalLoss(w=2) + IoULoss,
+# 'dist' range mode, crop 640, COCO-format data via pack_TL.
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
+
+from lfdtpu import zoo
+from lfdtpu.data import (
+    DataLoader,
+    Dataset,
+    RandomBBoxCropRegionSampler,
+    RandomWithNegDatasetSampler,
+)
+from lfdtpu.execution import (
+    Executor,
+    MultiStepLRSchedule,
+    SGD,
+    WarmupSetting,
+    customize_exception_hook,
+    set_random_seed,
+)
+from TL_augmentation_pipeline import tl_train_pipeline
+
+config_dict = dict()
+
+
+def prepare_common_settings():
+    config_dict["timestamp"] = time.strftime("%Y%m%d_%H%M%S", time.localtime())
+    base = os.path.basename(__file__).split(".")[0]
+    config_dict["work_dir"] = "./" + base + "_work_dir_" + config_dict["timestamp"]
+    os.makedirs(config_dict["work_dir"], exist_ok=True)
+    shutil.copyfile(__file__, os.path.join(config_dict["work_dir"], os.path.basename(__file__)))
+    config_dict["log_path"] = os.path.join(
+        config_dict["work_dir"], "log_" + config_dict["timestamp"] + ".log"
+    )
+    sys.excepthook = customize_exception_hook(
+        os.path.join(config_dict["work_dir"], "exception_log_" + config_dict["timestamp"] + ".log")
+    )
+    config_dict["training_epochs"] = 500
+    config_dict["seed"] = 666
+    set_random_seed(config_dict["seed"])
+    config_dict["display_interval"] = 100
+    config_dict["save_interval"] = 50
+    config_dict["val_interval"] = 0
+
+
+def prepare_model():
+    config_dict["num_classes"] = 1
+    config_dict["detection_scales"] = zoo.TL_SCALES
+    config_dict["model"] = zoo.trafficlight_lfd("L")
+    config_dict["weight_path"] = None
+    config_dict["resume_path"] = None
+    config_dict["evaluator"] = None
+
+
+def prepare_data_pipeline():
+    config_dict["batch_size"] = 4
+    config_dict["num_train_workers"] = 4
+    config_dict["train_dataset_path"] = "./TL_pack/tl_train.pkl"
+    config_dict["input_hw"] = (640, 640)
+    train_dataset = Dataset(load_path=config_dict["train_dataset_path"])
+    sampler = RandomWithNegDatasetSampler(
+        train_dataset, batch_size=config_dict["batch_size"], neg_ratio=0.2,
+        shuffle=True, ignore_last=False,
+    )
+    region = RandomBBoxCropRegionSampler(crop_size=640, resize_range=(0.5, 1.5), resize_prob=0.5)
+    config_dict["train_data_loader"] = DataLoader(
+        dataset=train_dataset, dataset_sampler=sampler, region_sampler=region,
+        augmentation_pipeline=tl_train_pipeline,
+        num_workers=config_dict["num_train_workers"],
+        max_boxes_per_image=100,
+    )
+
+
+def prepare_optimizer():
+    config_dict["learning_rate"] = 0.1
+    config_dict["optimizer"] = SGD(momentum=0.9, weight_decay=0.0001)
+    config_dict["optimizer_grad_clip_cfg"] = dict(max_norm=10, duration=5)
+    config_dict["milestones"] = [200, 300, 400]
+    config_dict["lr_schedule"] = MultiStepLRSchedule(
+        base_lr=0.1, milestones=(200, 300, 400), gamma=0.1,
+        warmup=WarmupSetting(by_epoch=False, warmup_mode="linear",
+                             warmup_loops=200, warmup_ratio=0.1),
+    )
+
+
+if __name__ == "__main__":
+    prepare_common_settings()
+    prepare_model()
+    prepare_data_pipeline()
+    prepare_optimizer()
+    Executor(config_dict).run()

@@ -1,0 +1,116 @@
+# Shared config-as-code for the WIDERFACE workload scripts
+# (reference `WIDERFACE_train/WIDERFACE_LFD_{XS,S,M,L}.py` — the four
+# scripts differ only in the backbone plan; hyperparameters below mirror
+# `WIDERFACE_LFD_S.py:31-244`).
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
+
+from lfdtpu import zoo
+from lfdtpu.data import (
+    DataLoader,
+    Dataset,
+    RandomBBoxCropRegionSampler,
+    RandomWithNegDatasetSampler,
+    simple_widerface_train_pipeline,
+)
+from lfdtpu.execution import (
+    MultiStepLRSchedule,
+    SGD,
+    WarmupSetting,
+    customize_exception_hook,
+    set_random_seed,
+)
+
+
+def prepare_common_settings(config_dict, script_path):
+    config_dict["timestamp"] = time.strftime("%Y%m%d_%H%M%S", time.localtime())
+    base = os.path.basename(script_path).split(".")[0]
+    config_dict["work_dir"] = "./" + base + "_work_dir_" + config_dict["timestamp"]
+    os.makedirs(config_dict["work_dir"], exist_ok=True)
+    # copy config for reproducibility (`WIDERFACE_LFD_S.py:37-39`)
+    import shutil
+
+    shutil.copyfile(script_path, os.path.join(config_dict["work_dir"], os.path.basename(script_path)))
+    config_dict["log_path"] = os.path.join(
+        config_dict["work_dir"], "log_" + config_dict["timestamp"] + ".log"
+    )
+    sys.excepthook = customize_exception_hook(
+        os.path.join(config_dict["work_dir"], "exception_log_" + config_dict["timestamp"] + ".log")
+    )
+    config_dict["training_epochs"] = 1000
+    config_dict["seed"] = 666
+    if config_dict["seed"] is not None:
+        set_random_seed(config_dict["seed"])
+    config_dict["display_interval"] = 100
+    config_dict["save_interval"] = 100
+    config_dict["val_interval"] = 0
+
+
+def prepare_model(config_dict, size):
+    config_dict["num_input_channels"] = 3
+    config_dict["num_classes"] = 1
+    config_dict["detection_scales"] = zoo.WIDERFACE_SCALES
+    config_dict["model"] = zoo.widerface_lfd(size)
+    config_dict["weight_path"] = None
+    config_dict["resume_path"] = None
+    config_dict["evaluator"] = None
+
+
+def prepare_data_pipeline(config_dict):
+    config_dict["batch_size"] = 64
+    config_dict["num_train_workers"] = 12
+    config_dict["num_val_workers"] = 0
+    config_dict["train_dataset_path"] = "./WIDERFACE_pack/widerface_train.pkl"
+    config_dict["input_hw"] = (480, 480)  # crop_size 480
+
+    train_dataset = Dataset(load_path=config_dict["train_dataset_path"])
+    train_dataset_sampler = RandomWithNegDatasetSampler(
+        train_dataset,
+        batch_size=config_dict["batch_size"],
+        neg_ratio=0.2,
+        shuffle=True,
+        ignore_last=False,
+    )
+    train_region_sampler = RandomBBoxCropRegionSampler(
+        crop_size=480, resize_range=(0.5, 1.5), resize_prob=0.5
+    )
+    config_dict["train_data_loader"] = DataLoader(
+        dataset=train_dataset,
+        dataset_sampler=train_dataset_sampler,
+        region_sampler=train_region_sampler,
+        augmentation_pipeline=simple_widerface_train_pipeline,
+        num_workers=config_dict["num_train_workers"],
+        max_boxes_per_image=200,
+    )
+
+
+def prepare_optimizer(config_dict):
+    config_dict["learning_rate"] = 0.1
+    config_dict["momentum"] = 0.9
+    config_dict["weight_decay"] = 0.0001
+    config_dict["optimizer"] = SGD(
+        momentum=config_dict["momentum"], weight_decay=config_dict["weight_decay"]
+    )
+    config_dict["optimizer_grad_clip_cfg"] = dict(max_norm=10, norm_type=2, duration=5)
+    config_dict["milestones"] = [500, 700, 900]
+    config_dict["gamma"] = 0.1
+    assert max(config_dict["milestones"]) < config_dict["training_epochs"]
+    config_dict["warmup_setting"] = dict(
+        by_epoch=False, warmup_mode="linear", warmup_loops=200, warmup_ratio=0.1
+    )
+    config_dict["lr_schedule"] = MultiStepLRSchedule(
+        base_lr=config_dict["learning_rate"],
+        milestones=tuple(config_dict["milestones"]),
+        gamma=config_dict["gamma"],
+        warmup=WarmupSetting(**config_dict["warmup_setting"]),
+    )
+
+
+def run(config_dict):
+    from lfdtpu.execution import Executor
+
+    Executor(config_dict).run()
