@@ -177,16 +177,30 @@ class LFD:
     def level_info(self, input_hw):
         return self._level_info_np((int(input_hw[0]), int(input_hw[1])))
 
+    @functools.lru_cache(maxsize=64)
+    def _level_arrays_cached(self, input_hw: Tuple[int, int]):
+        info = self._level_info_np(input_hw)
+        return {k: jnp.asarray(v) for k, v in info.items()}
+
+    def level_arrays(self, input_hw):
+        """Per-point constants as device arrays, created once per resolution.
+
+        IMPORTANT: these must be passed INTO jitted functions as arguments —
+        closing over them embeds them as per-call-uploaded constants, which
+        on the remote-TPU path costs tens of ms per invocation.
+        """
+        return self._level_arrays_cached((int(input_hw[0]), int(input_hw[1])))
+
     def num_points(self, input_hw):
         return self.level_info(input_hw)["points"].shape[0]
 
     # -------------------------------------------------------------- loss
     def _assign_single(self, info, gt_bboxes, gt_labels, gt_mask):
         return assign_ops.lfd_assign(
-            jnp.asarray(info["points"]),
-            jnp.asarray(info["strides"]),
-            jnp.asarray(info["ranges"]),
-            jnp.asarray(info["gray_ranges"]),
+            info["points"],
+            info["strides"],
+            info["ranges"],
+            info["gray_ranges"],
             gt_bboxes,
             gt_labels,
             gt_mask,
@@ -195,7 +209,8 @@ class LFD:
             normalize_by_range=self.regression_loss_type == "independent",
         )
 
-    def get_loss(self, predict_outputs, gt_bboxes, gt_labels, gt_mask, input_hw):
+    def get_loss(self, predict_outputs, gt_bboxes, gt_labels, gt_mask, input_hw,
+                 level_arrays=None):
         """Pure jit-friendly loss (`lfd/model/lfd.py:284-395` semantics).
 
         Args:
@@ -204,10 +219,12 @@ class LFD:
           gt_labels: (B, Nmax) int32.
           gt_mask: (B, Nmax) bool.
           input_hw: static (h, w) of the network input.
+          level_arrays: the per-point constants (see level_arrays()); callers
+            inside jit should thread them through as arguments.
         """
         cls_pred, reg_pred = predict_outputs
         B, P = cls_pred.shape[0], cls_pred.shape[1]
-        info = self.level_info(input_hw)
+        info = level_arrays if level_arrays is not None else self.level_arrays(input_hw)
         assert info["points"].shape[0] == P, (info["points"].shape, P)
 
         cls_t, reg_t = jax.vmap(
@@ -272,8 +289,8 @@ class LFD:
                 avg_factor=reg_avg,
             )
         else:
-            points = jnp.asarray(info["points"])
-            ranges = jnp.asarray(info["ranges"])
+            points = info["points"]
+            ranges = info["ranges"]
             pts_f = jnp.tile(points, (B, 1))
             rng_f = jnp.tile(ranges, (B, 1))
             target_xyxy = box_ops.distance2bbox(pts_f, reg_t_f)
@@ -323,13 +340,15 @@ class LFD:
             class_agnostic=class_agnostic,
         )
 
-    def decode_single(self, outputs_single, input_hw, valid_hw, spec):
+    def decode_single(self, outputs_single, input_hw, valid_hw, spec,
+                      level_arrays=None):
         """Decode one image's (P, Cc)/(P, 4) outputs. valid_hw is the unpadded
-        (h, w) extent (traced or static)."""
+        (h, w) extent (traced or static). Pass level_arrays through as jit
+        arguments on hot paths (see level_arrays())."""
         cls_o, reg_o = outputs_single
-        info = self.level_info(input_hw)
-        points = jnp.asarray(info["points"])
-        ranges = jnp.asarray(info["ranges"])
+        info = level_arrays if level_arrays is not None else self.level_arrays(input_hw)
+        points = info["points"]
+        ranges = info["ranges"]
         h, w = valid_hw
         point_valid = (points[:, 0] < w) & (points[:, 1] < h)
         return decode_predictions(
@@ -363,10 +382,11 @@ class LFD:
         if key not in self._predict_cache:
 
             @jax.jit
-            def run(variables, image, valid_hw):
+            def run(variables, image, valid_hw, level_arrays):
                 outs = self.net.apply(variables, image[None], train=False)
                 return self.decode_single(
-                    (outs[0][0], outs[1][0]), input_hw, (valid_hw[0], valid_hw[1]), spec
+                    (outs[0][0], outs[1][0]), input_hw,
+                    (valid_hw[0], valid_hw[1]), spec, level_arrays=level_arrays,
                 )
 
             self._predict_cache[key] = run
@@ -409,8 +429,10 @@ class LFD:
         spec = self.decode_spec(
             classification_threshold, nms_threshold, class_agnostic=class_agnostic
         )
-        run = self._predict_jit(tuple(int(v) for v in input_hw), spec)
+        input_hw = tuple(int(v) for v in input_hw)
+        run = self._predict_jit(input_hw, spec)
         decoded = run(
-            variables, jnp.asarray(padded), jnp.asarray([h, w], jnp.float32)
+            variables, jnp.asarray(padded), jnp.asarray([h, w], jnp.float32),
+            self.level_arrays(input_hw),
         )
         return detections_to_lists(decoded)

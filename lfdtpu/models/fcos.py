@@ -80,11 +80,21 @@ class FCOS:
     def level_info(self, input_hw):
         return self._level_info_np((int(input_hw[0]), int(input_hw[1])))
 
+    @functools.lru_cache(maxsize=64)
+    def _level_arrays_cached(self, input_hw):
+        return {k: jnp.asarray(v) for k, v in self._level_info_np(input_hw).items()}
+
+    def level_arrays(self, input_hw):
+        """Device-resident per-point constants; pass as jit args (see
+        LFD.level_arrays on why closing over them is slow)."""
+        return self._level_arrays_cached((int(input_hw[0]), int(input_hw[1])))
+
     def num_points(self, input_hw):
         return self.level_info(input_hw)["points"].shape[0]
 
     # -------------------------------------------------------------- loss
-    def get_loss(self, predict_outputs, gt_bboxes, gt_labels, gt_mask, input_hw):
+    def get_loss(self, predict_outputs, gt_bboxes, gt_labels, gt_mask, input_hw,
+                 level_arrays=None):
         """`lfd/model/fcos.py:243-330` with padded-GT masking.
 
         avg factors: cls = num_pos + batch_size; reg weighted by centerness
@@ -92,11 +102,11 @@ class FCOS:
         """
         cls_pred, reg_pred, ctr_pred = predict_outputs
         B = cls_pred.shape[0]
-        info = self.level_info(input_hw)
+        info = level_arrays if level_arrays is not None else self.level_arrays(input_hw)
 
         labels_t, reg_t = jax.vmap(
             lambda b, l, m: assign_ops.fcos_assign(
-                jnp.asarray(info["points"]), jnp.asarray(info["ranges"]),
+                info["points"], info["ranges"],
                 b, l, m, self.num_classes,
             )
         )(gt_bboxes, gt_labels.astype(jnp.int32), gt_mask)
@@ -115,7 +125,7 @@ class FCOS:
         )
 
         ctr_t = assign_ops.centerness_target(reg_t_f) * pos
-        points = jnp.tile(jnp.asarray(info["points"]), (B, 1))
+        points = jnp.tile(info["points"], (B, 1))
         # head already applied exp: distances are direct pixels
         pred_xyxy = box_ops.distance2bbox(points, reg_pred_f.astype(jnp.float32))
         target_xyxy = box_ops.distance2bbox(points, reg_t_f)
@@ -159,11 +169,12 @@ class FCOS:
             class_agnostic=class_agnostic,
         )
 
-    def decode_single(self, outputs_single, input_hw, valid_hw, spec):
+    def decode_single(self, outputs_single, input_hw, valid_hw, spec,
+                      level_arrays=None):
         cls_o, reg_o, ctr_o = outputs_single
-        info = self.level_info(input_hw)
-        points = jnp.asarray(info["points"])
-        ranges = jnp.asarray(info["ranges"])
+        info = level_arrays if level_arrays is not None else self.level_arrays(input_hw)
+        points = info["points"]
+        ranges = info["ranges"]
         h, w = valid_hw
         point_valid = (points[:, 0] < w) & (points[:, 1] < h)
         centerness = jax.nn.sigmoid(ctr_o[:, 0])
@@ -198,11 +209,11 @@ class FCOS:
         if key not in self._predict_cache:
 
             @jax.jit
-            def run(variables, image, valid_hw):
+            def run(variables, image, valid_hw, level_arrays):
                 outs = self.net.apply(variables, image[None], train=False)
                 return self.decode_single(
                     (outs[0][0], outs[1][0], outs[2][0]), input_hw,
-                    (valid_hw[0], valid_hw[1]), spec,
+                    (valid_hw[0], valid_hw[1]), spec, level_arrays=level_arrays,
                 )
 
             self._predict_cache[key] = run
@@ -238,6 +249,8 @@ class FCOS:
         spec = self.decode_spec(
             classification_threshold, nms_threshold, class_agnostic=class_agnostic
         )
-        run = self._predict_jit(tuple(int(v) for v in padded.shape[:2]), spec)
-        decoded = run(variables, jnp.asarray(padded), jnp.asarray([h, w], jnp.float32))
+        input_hw = tuple(int(v) for v in padded.shape[:2])
+        run = self._predict_jit(input_hw, spec)
+        decoded = run(variables, jnp.asarray(padded), jnp.asarray([h, w], jnp.float32),
+                      self.level_arrays(input_hw))
         return detections_to_lists(decoded)

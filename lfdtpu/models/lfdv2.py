@@ -68,10 +68,10 @@ class LFDv2(LFD):
 
     def _assign_single(self, info, gt_bboxes, gt_labels, gt_mask):
         return assign_ops.lfdv2_assign(
-            jnp.asarray(info["points"]),
-            jnp.asarray(info["strides"]),
-            jnp.asarray(info["ranges"]),
-            jnp.asarray(info["gray_ranges"]),
+            info["points"],
+            info["strides"],
+            info["ranges"],
+            info["gray_ranges"],
             gt_bboxes,
             gt_labels,
             gt_mask,
@@ -97,11 +97,12 @@ class LFDv2Q(LFDv2):
         assert self.regression_loss_type == "union"
         self.enable_iou_score_coupling = enable_iou_score_coupling
 
-    def get_loss(self, predict_outputs, gt_bboxes, gt_labels, gt_mask, input_hw):
+    def get_loss(self, predict_outputs, gt_bboxes, gt_labels, gt_mask, input_hw,
+                 level_arrays=None):
         """`lfdv2.py:1254-1328` with padded-GT masking."""
         cls_pred, reg_pred = predict_outputs
         B = cls_pred.shape[0]
-        info = self.level_info(input_hw)
+        info = level_arrays if level_arrays is not None else self.level_arrays(input_hw)
 
         cls_t, reg_t = jax.vmap(
             lambda b, l, m: self._assign_single(info, b, l, m)
@@ -116,7 +117,7 @@ class LFDv2Q(LFDv2):
         max_idx = jnp.argmax(cls_t_f, axis=-1).astype(jnp.int32)
         pos = (max_scores > 0).astype(cls_pred_f.dtype)
 
-        points = jnp.tile(jnp.asarray(info["points"]), (B, 1))
+        points = jnp.tile(info["points"], (B, 1))
         dist = jnp.exp(reg_pred_f.astype(jnp.float32))
         pred_xyxy = box_ops.distance2bbox(points, dist)
         target_xyxy = box_ops.distance2bbox(points, reg_t_f)

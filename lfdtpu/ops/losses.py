@@ -267,7 +267,9 @@ def ciou_loss(pred, target, weight=None, eps=1e-7, reduction="mean", avg_factor=
     h2 = target[..., 3] - target[..., 1] + eps
     factor = 4.0 / math.pi**2
     v = factor * (jnp.arctan(w2 / h2) - jnp.arctan(w1 / h1)) ** 2
-    cious = ious - (rho2 / c2 + v**2 / (1.0 - ious + v))
+    # guard the aspect-consistency denominator: for identical boxes f32
+    # rounds ious to exactly 1 and v to 0, making the raw form 0/0
+    cious = ious - (rho2 / c2 + v**2 / jnp.maximum(1.0 - ious + v, eps))
     loss = 1.0 - cious
     return weight_reduce_loss(loss, _reduce_iou_weight(weight), reduction, avg_factor)
 

@@ -53,8 +53,13 @@ def make_train_step(
     clip_enabled) -> (state, metrics dict of scalars).
     """
     input_hw = (int(input_hw[0]), int(input_hw[1]))
+    # point-grid constants ride as step arguments — closing over them embeds
+    # per-call-uploaded constants on the remote-TPU backend (measured ~30 ms)
+    level_arrays = {
+        k: jax.device_put(v) for k, v in detector.level_arrays(input_hw).items()
+    }
 
-    def _step(state, images, gt_bboxes, gt_labels, gt_mask, lr, clip_enabled):
+    def _step(state, level_arrays, images, gt_bboxes, gt_labels, gt_mask, lr, clip_enabled):
         def loss_fn(params):
             fwd = detector.forward
             if remat:
@@ -71,7 +76,10 @@ def make_train_step(
                     images,
                     train=True,
                 )
-            ld = detector.get_loss(outs, gt_bboxes, gt_labels, gt_mask, input_hw)
+            ld = detector.get_loss(
+                outs, gt_bboxes, gt_labels, gt_mask, input_hw,
+                level_arrays=level_arrays,
+            )
             return ld["loss"], (mutated["batch_stats"], ld["loss_values"])
 
         (loss, (new_bs, loss_values)), grads = jax.value_and_grad(
@@ -91,16 +99,23 @@ def make_train_step(
         return new_state, metrics
 
     if mesh is None:
-        return jax.jit(_step, donate_argnums=(0,) if donate else ())
+        jitted = jax.jit(_step, donate_argnums=(0,) if donate else ())
+    else:
+        bsh = batch_sharding(mesh)
+        rep = replicated_sharding(mesh)
+        jitted = jax.jit(
+            _step,
+            in_shardings=(rep, rep, bsh, bsh, bsh, bsh, rep, rep),
+            out_shardings=(rep, rep),
+            donate_argnums=(0,) if donate else (),
+        )
 
-    bsh = batch_sharding(mesh)
-    rep = replicated_sharding(mesh)
-    return jax.jit(
-        _step,
-        in_shardings=(rep, bsh, bsh, bsh, bsh, rep, rep),
-        out_shardings=(rep, rep),
-        donate_argnums=(0,) if donate else (),
-    )
+    def step(state, images, gt_bboxes, gt_labels, gt_mask, lr, clip_enabled):
+        return jitted(
+            state, level_arrays, images, gt_bboxes, gt_labels, gt_mask, lr, clip_enabled
+        )
+
+    return step
 
 
 def make_eval_step(detector, mesh=None):

@@ -1,0 +1,87 @@
+# Deployment tests: engine precisions agree, latency harness runs,
+# int8 fake-quant stays close, device preprocess matches host normalize.
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lfdtpu.deploy import (
+    Int8Calibrator,
+    cast_variables,
+    compile_inference,
+    make_device_preprocess,
+    quantize_variables_int8,
+    timing_inference,
+)
+from lfdtpu.data.augmentation import simple_normalize
+
+from tests.test_detector import tiny_lfd
+
+
+def _engine_setup():
+    det = tiny_lfd()
+    variables = det.init(jax.random.PRNGKey(0), (64, 64))
+    rng = np.random.RandomState(0)
+    img = rng.randint(0, 255, (1, 64, 64, 3)).astype(np.uint8)
+    return det, variables, img
+
+
+def test_engine_fp32_vs_bf16_close():
+    det, variables, img = _engine_setup()
+    pre = make_device_preprocess((0.5, 0.5, 0.5), (0.5, 0.5, 0.5))
+    vhw = jnp.asarray([64.0, 64.0])
+    e32 = compile_inference(det, variables, (64, 64), "fp32", preprocess=pre,
+                            classification_threshold=0.01)
+    e16 = compile_inference(det, variables, (64, 64), "bf16", preprocess=pre,
+                            classification_threshold=0.01)
+    d32 = e32(jnp.asarray(img), vhw)
+    d16 = e16(jnp.asarray(img), vhw)
+    # same top score to bf16 tolerance
+    np.testing.assert_allclose(
+        np.asarray(d32["scores"][0, 0]), np.asarray(d16["scores"][0, 0]), atol=0.05
+    )
+
+
+def test_int8_quantize_close():
+    det, variables, img = _engine_setup()
+    q = quantize_variables_int8(variables)
+    # kernels changed but only slightly
+    k0 = jax.tree.leaves(variables["params"])[0]
+    q0 = jax.tree.leaves(q["params"])[0]
+    assert not np.allclose(np.asarray(k0), np.asarray(q0))
+    rel = np.abs(np.asarray(k0) - np.asarray(q0)).max() / (np.abs(np.asarray(k0)).max() + 1e-9)
+    assert rel < 0.02  # <= 1/127 rounding
+
+
+def test_int8_calibrator_cache(tmp_path):
+    cache = str(tmp_path / "calib.npy")
+    c = Int8Calibrator(cache)
+    assert not c.has_cache()
+    c.update(np.full((1, 4, 4, 3), 3.0))
+    c.update(np.full((1, 4, 4, 3), -7.0))
+    assert c.input_amax == 7.0
+    c.save()
+    c2 = Int8Calibrator(cache)
+    assert c2.has_cache() and c2.input_amax == 7.0
+
+
+def test_device_preprocess_matches_host_normalize(rng):
+    img = (rng.rand(8, 8, 3) * 255).astype(np.uint8)
+    host = simple_normalize({"image": img.copy()})["image"]
+    pre = make_device_preprocess((0.5, 0.5, 0.5), (0.5, 0.5, 0.5))
+    dev = np.asarray(pre(jnp.asarray(img)))
+    np.testing.assert_allclose(dev, host, atol=1e-5)
+
+
+def test_timing_inference_runs():
+    det, variables, img = _engine_setup()
+    engine = compile_inference(det, variables, (64, 64), "fp32")
+    r = timing_inference(engine, img, (64.0, 64.0), warmup_loops=1, timing_loops=3)
+    assert r["ms_per_image"] > 0 and r["fps"] > 0
+
+
+def test_cast_variables_dtype():
+    det, variables, _ = _engine_setup()
+    b = cast_variables(variables, jnp.bfloat16)
+    for leaf in jax.tree.leaves(b):
+        if jnp.issubdtype(leaf.dtype, jnp.floating):
+            assert leaf.dtype == jnp.bfloat16
