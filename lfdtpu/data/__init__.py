@@ -29,6 +29,13 @@ from .augmentation import (
     typical_coco_val_pipeline,
 )
 from .loader import DataLoader, pad_annotations
+from .pack import (
+    pack_widerface,
+    pack_coco,
+    pack_tt100k,
+    pack_mini_for_debug,
+    check_by_show,
+)
 
 __all__ = [
     "Sample", "reserved_keys",
@@ -44,4 +51,6 @@ __all__ = [
     "simple_widerface_train_pipeline", "simple_widerface_val_pipeline",
     "typical_coco_train_pipeline", "typical_coco_val_pipeline",
     "DataLoader", "pad_annotations",
+    "pack_widerface", "pack_coco", "pack_tt100k",
+    "pack_mini_for_debug", "check_by_show",
 ]

@@ -26,8 +26,6 @@ import time
 import jax
 import numpy as np
 
-from ..parallel import TrainState, make_eval_step, make_train_step
-from ..parallel.mesh import make_mesh, shard_batch
 from .hooks import (
     CheckpointHook,
     EvaluationHook,
@@ -45,6 +43,11 @@ _BASIC_TYPES = (str, int, float, bool, list, tuple, dict, set, type(None))
 
 class Executor:
     def __init__(self, config_dict):
+        # imported here: lfdtpu.parallel <-> lfdtpu.execution would otherwise
+        # form an import cycle through the package __init__s
+        from ..parallel.data_parallel import make_train_step
+        from ..parallel.mesh import make_mesh
+
         self.config_dict = config_dict
         cfg = self.config_dict
 
@@ -156,6 +159,8 @@ class Executor:
         for inner, batch in enumerate(cfg["train_data_loader"]):
             cfg["inner_train_iter"] = inner
             self.call_hooks("before_train_iter")
+            from ..parallel.mesh import shard_batch
+
             images, gt, labels, mask = shard_batch(
                 self.mesh,
                 batch["images"],
@@ -185,11 +190,15 @@ class Executor:
             return
         cfg["mode"] = "val"
         if self._eval_step is None:
+            from ..parallel.data_parallel import make_eval_step
+
             self._eval_step = make_eval_step(self.detector, self.mesh)
         self.call_hooks("before_val_epoch")
         for inner, batch in enumerate(cfg["val_data_loader"]):
             cfg["inner_val_iter"] = inner
             self.call_hooks("before_val_iter")
+            from ..parallel.mesh import shard_batch
+
             images = shard_batch(self.mesh, batch["images"])
             cls_o, reg_o = self._eval_step(self.state, images)
             input_hw = (batch["images"].shape[1], batch["images"].shape[2])
@@ -261,6 +270,8 @@ class Executor:
 
     def resume(self, path):
         cfg = self.config_dict
+        from ..parallel.data_parallel import TrainState
+
         state_np, meta = load_checkpoint(path, strict=True)
         cast = lambda t, s: np.asarray(s).astype(np.asarray(t).dtype)
         self.state = TrainState(

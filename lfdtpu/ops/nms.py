@@ -122,6 +122,39 @@ def soft_nms(dets, iou_thr, method="linear", sigma=0.5, min_score=1e-3):
     return new_dets, np.asarray(kept_inds, dtype=np.int64)
 
 
+def nms_match(dets, iou_thr):
+    """Group boxes by greedy-NMS suppression (`nms_ext.nms_match` /
+    `nms_cpu.cpp` nms_match_cpu): returns a list of index groups, each led
+    by a kept box followed by the boxes it suppressed."""
+    dets = np.asarray(dets)
+    if dets.shape[0] == 0:
+        return []
+    x1, y1, x2, y2, scores = dets[:, 0], dets[:, 1], dets[:, 2], dets[:, 3], dets[:, 4]
+    areas = (x2 - x1) * (y2 - y1)
+    order = np.argsort(-scores, kind="stable")
+    suppressed = np.zeros(len(dets), dtype=bool)
+    groups = []
+    for i in order:
+        if suppressed[i]:
+            continue
+        xx1 = np.maximum(x1[i], x1)
+        yy1 = np.maximum(y1[i], y1)
+        xx2 = np.minimum(x2[i], x2)
+        yy2 = np.minimum(y2[i], y2)
+        inter = np.clip(xx2 - xx1, 0, None) * np.clip(yy2 - yy1, 0, None)
+        iou = inter / (areas[i] + areas - inter)
+        members = [int(i)]
+        for j in order:
+            if j == i or suppressed[j]:
+                continue
+            if iou[j] > iou_thr:
+                suppressed[j] = True
+                members.append(int(j))
+        suppressed[i] = True
+        groups.append(members)
+    return groups
+
+
 # ---------------------------------------------------------------------------
 # Device (jnp, shape-static) path
 # ---------------------------------------------------------------------------

@@ -1,5 +1,11 @@
 from .mesh import make_mesh, batch_sharding, replicated_sharding, shard_batch
-from .data_parallel import TrainState, make_train_step, make_eval_step
+from .data_parallel import TrainState, make_train_step, make_eval_step, create_train_state
+from .distributed import (
+    initialize_distributed,
+    process_info,
+    local_batch_slice,
+    global_batch_from_local,
+)
 
 __all__ = [
     "make_mesh",
@@ -9,4 +15,9 @@ __all__ = [
     "TrainState",
     "make_train_step",
     "make_eval_step",
+    "create_train_state",
+    "initialize_distributed",
+    "process_info",
+    "local_batch_slice",
+    "global_batch_from_local",
 ]

@@ -1,0 +1,111 @@
+# Parity: the static-shape fused decode (top-k + mask + fixed-size NMS)
+# must produce the same boxes as the reference's dynamic-shape decode
+# (threshold filter -> class-offset NMS, `lfd/model/lfd.py:577-641`),
+# mirrored here in numpy on the same dense outputs.
+import numpy as np
+import jax.numpy as jnp
+
+from lfdtpu.ops.decode import DecodeSpec, decode_predictions
+from lfdtpu.ops.points import concat_level_info, compute_gray_ranges
+import lfdtpu.ops.nms  # noqa: F401
+import sys
+
+N = sys.modules["lfdtpu.ops.nms"]
+
+
+def _sigmoid(x):
+    return 1.0 / (1.0 + np.exp(-x))
+
+
+def reference_decode_mirror(cls_logits, reg, points, ranges, score_thr, iou_thr,
+                            image_hw, mode="sigmoid"):
+    """Numpy transcription of the reference decode semantics."""
+    probs = _sigmoid(cls_logits)  # (P, C)
+    P, C = probs.shape
+    h, w = image_hw
+    if mode == "exp":
+        dist = np.exp(reg)
+    elif mode == "sigmoid":
+        dist = _sigmoid(reg) * ranges.max(-1, keepdims=True)
+    else:
+        raise ValueError(mode)
+    x1 = np.clip(points[:, 0] - dist[:, 0], 0, w)
+    y1 = np.clip(points[:, 1] - dist[:, 1], 0, h)
+    x2 = np.clip(points[:, 0] + dist[:, 2], 0, w)
+    y2 = np.clip(points[:, 1] + dist[:, 3], 0, h)
+    boxes = np.stack([x1, y1, x2, y2], -1)
+
+    # flatten (point, class) pairs, threshold (multiclass_nms semantics)
+    flat_boxes = np.repeat(boxes, C, axis=0)
+    flat_scores = probs.reshape(-1)
+    flat_labels = np.tile(np.arange(C), P)
+    valid = flat_scores > score_thr
+    fb, fs, fl = flat_boxes[valid], flat_scores[valid], flat_labels[valid]
+    if len(fs) == 0:
+        return np.zeros((0, 6))
+    # class-offset NMS
+    max_coord = fb.max()
+    off = fl[:, None] * (max_coord + 1)
+    dets = np.concatenate([fb + off, fs[:, None]], -1).astype(np.float32)
+    _, keep = N.nms(dets, iou_thr)
+    rows = []
+    for i in keep:
+        rows.append([fl[i], fs[i], *fb[i]])
+    rows.sort(key=lambda r: -r[1])
+    return np.asarray(rows)
+
+
+def test_decode_matches_reference_mirror(rng):
+    info = concat_level_info([(8, 8), (4, 4)], [8, 16], [(0, 32), (32, 64)],
+                             compute_gray_ranges([(0, 32), (32, 64)], (0.9, 1.1)))
+    P = info["points"].shape[0]
+    C = 3
+    for trial in range(5):
+        cls_logits = rng.randn(P, C).astype(np.float32) * 2 - 2
+        reg = rng.randn(P, 4).astype(np.float32)
+        spec = DecodeSpec(num_classes=C, reg_mode="sigmoid", score_thr=0.3,
+                          nms_iou=0.5, pre_nms_points=P, nms_budget=P * C,
+                          max_det=P * C)
+        out = decode_predictions(
+            jnp.asarray(cls_logits), jnp.asarray(reg),
+            jnp.asarray(info["points"]), jnp.asarray(info["ranges"]),
+            spec, (64.0, 64.0),
+        )
+        count = int(out["count"])
+        got = np.concatenate(
+            [
+                np.asarray(out["labels"][:count])[:, None],
+                np.asarray(out["scores"][:count])[:, None],
+                np.asarray(out["boxes"][:count]),
+            ],
+            axis=1,
+        )
+        ref = reference_decode_mirror(
+            cls_logits, reg, info["points"], info["ranges"], 0.3, 0.5, (64, 64)
+        )
+        assert len(ref) == count, (len(ref), count)
+        # same (label, score) multiset, same boxes (sorted by score)
+        order_ref = np.argsort(-ref[:, 1], kind="stable")
+        ref = ref[order_ref]
+        np.testing.assert_allclose(got[:, 1], ref[:, 1], rtol=1e-5)
+        np.testing.assert_array_equal(got[:, 0], ref[:, 0])
+        np.testing.assert_allclose(got[:, 2:], ref[:, 2:], rtol=1e-4, atol=1e-3)
+
+
+def test_decode_masks_padded_points(rng):
+    info = concat_level_info([(8, 8)], [8], [(0, 64)])
+    P = info["points"].shape[0]
+    cls_logits = np.full((P, 1), 5.0, np.float32)  # everything confident
+    reg = np.zeros((P, 4), np.float32)
+    spec = DecodeSpec(num_classes=1, reg_mode="exp", score_thr=0.1,
+                      nms_iou=0.5, pre_nms_points=P, nms_budget=P, max_det=P)
+    valid = jnp.asarray(info["points"])[:, 0] < 32  # right half is padding
+    out = decode_predictions(
+        jnp.asarray(cls_logits), jnp.asarray(reg),
+        jnp.asarray(info["points"]), jnp.asarray(info["ranges"]),
+        spec, (64.0, 32.0), point_valid=valid,
+    )
+    count = int(out["count"])
+    boxes = np.asarray(out["boxes"][:count])
+    assert count > 0
+    assert (boxes[:, 0] <= 32).all()  # nothing from the padded region
