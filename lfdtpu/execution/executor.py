@@ -200,27 +200,35 @@ class Executor:
             from ..parallel.mesh import shard_batch
 
             images = shard_batch(self.mesh, batch["images"])
-            cls_o, reg_o = self._eval_step(self.state, images)
+            outs = self._eval_step(self.state, images)
             input_hw = (batch["images"].shape[1], batch["images"].shape[2])
-            results = []
             spec = self.detector.decode_spec()
             import jax.numpy as jnp
 
-            for i in range(batch["images"].shape[0]):
-                meta = batch["meta"][i] or {}
-                decoded = self.detector.decode_single(
-                    (cls_o[i], reg_o[i]),
-                    input_hw,
-                    (
-                        jnp.float32(meta.get("resized_height", input_hw[0])),
-                        jnp.float32(meta.get("resized_width", input_hw[1])),
-                    ),
-                    spec,
-                )
-                from ..ops.decode import detections_to_lists
+            from ..ops.decode import detections_to_lists
 
+            B = batch["images"].shape[0]
+            valid_hws = np.asarray(
+                [
+                    [
+                        (batch["meta"][i] or {}).get("resized_height", input_hw[0]),
+                        (batch["meta"][i] or {}).get("resized_width", input_hw[1]),
+                    ]
+                    for i in range(B)
+                ],
+                np.float32,
+            )
+            run = self.detector._batched_decode_jit(input_hw, spec)
+            decoded = run(
+                outs, jnp.asarray(valid_hws), self.detector.level_arrays(input_hw)
+            )
+            results = []
+            for i in range(B):
+                single = {k: v[i] for k, v in decoded.items()}
                 results.append(
-                    detections_to_lists(decoded, meta.get("resize_scale", 1.0))
+                    detections_to_lists(
+                        single, (batch["meta"][i] or {}).get("resize_scale", 1.0)
+                    )
                 )
             cfg["eval_results"] = results
             cfg["eval_meta"] = batch["meta"]

@@ -357,24 +357,50 @@ class LFD:
         )
 
     # ------------------------------------------------- reference-API paths
+    def _batched_decode_jit(self, input_hw, spec, n_outputs=2):
+        key = ("batched", input_hw, spec)
+        if key not in self._predict_cache:
+
+            @jax.jit
+            def run(outputs, valid_hws, level_arrays):
+                def dec(single, vhw):
+                    return self.decode_single(
+                        single, input_hw, (vhw[0], vhw[1]), spec,
+                        level_arrays=level_arrays,
+                    )
+
+                return jax.vmap(dec)(outputs, valid_hws)
+
+            self._predict_cache[key] = run
+        return self._predict_cache[key]
+
     def get_results(self, variables, images, meta_batch,
                     classification_threshold=None, nms_threshold=None):
         """Batched eval decode for the Executor's val loop
-        (`lfd.py:397-430`). images: (B, H, W, 3) device-ready array."""
+        (`lfd.py:397-430`). images: (B, H, W, 3) device-ready array.
+        The whole batch decodes in one jitted call; per-image valid extents
+        come from the loader meta."""
         spec = self.decode_spec(classification_threshold, nms_threshold)
         input_hw = (int(images.shape[1]), int(images.shape[2]))
-        cls_o, reg_o = self.__call__(variables, images, train=False)
+        outs = self.__call__(variables, images, train=False)
+        B = images.shape[0]
+        valid_hws = np.asarray(
+            [
+                [
+                    (meta_batch[i] or {}).get("resized_height", input_hw[0]),
+                    (meta_batch[i] or {}).get("resized_width", input_hw[1]),
+                ]
+                for i in range(B)
+            ],
+            np.float32,
+        )
+        run = self._batched_decode_jit(input_hw, spec)
+        decoded = run(outs, jnp.asarray(valid_hws), self.level_arrays(input_hw))
         results = []
-        for i in range(images.shape[0]):
-            meta = meta_batch[i] or {}
-            vh = meta.get("resized_height", input_hw[0])
-            vw = meta.get("resized_width", input_hw[1])
-            scale = meta.get("resize_scale", 1.0)
-            decoded = self.decode_single(
-                (cls_o[i], reg_o[i]), input_hw,
-                (jnp.float32(vh), jnp.float32(vw)), spec,
-            )
-            results.append(detections_to_lists(decoded, resize_scale=scale))
+        for i in range(B):
+            scale = (meta_batch[i] or {}).get("resize_scale", 1.0)
+            single = {k: v[i] for k, v in decoded.items()}
+            results.append(detections_to_lists(single, resize_scale=scale))
         return results
 
     def _predict_jit(self, input_hw, spec):

@@ -183,6 +183,23 @@ class FCOS:
             point_valid=point_valid, score_factors=centerness,
         )
 
+    def _batched_decode_jit(self, input_hw, spec, n_outputs=3):
+        key = ("batched", input_hw, spec)
+        if key not in self._predict_cache:
+
+            @jax.jit
+            def run(outputs, valid_hws, level_arrays):
+                def dec(single, vhw):
+                    return self.decode_single(
+                        single, input_hw, (vhw[0], vhw[1]), spec,
+                        level_arrays=level_arrays,
+                    )
+
+                return jax.vmap(dec)(outputs, valid_hws)
+
+            self._predict_cache[key] = run
+        return self._predict_cache[key]
+
     def get_results(self, variables, images, meta_batch,
                     classification_threshold=None, nms_threshold=None):
         spec = self.decode_spec(classification_threshold, nms_threshold)

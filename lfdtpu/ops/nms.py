@@ -172,7 +172,7 @@ def _iou_matrix(boxes):
     return inter / jnp.maximum(union, 1e-12)
 
 
-def nms_mask(boxes, scores, iou_thr, valid=None):
+def nms_mask(boxes, scores, iou_thr, valid=None, use_pallas=None):
     """Exact greedy-NMS keep mask, shape-static.
 
     Args:
@@ -180,6 +180,8 @@ def nms_mask(boxes, scores, iou_thr, valid=None):
       scores: (K,) used for the greedy ordering.
       iou_thr: suppression threshold (IoU strictly greater suppresses).
       valid: optional (K,) bool; invalid rows never keep nor suppress.
+      use_pallas: force (True/False) the on-chip Pallas kernel; default:
+        auto — used on TPU when the (K, K) matrix fits VMEM.
 
     Returns (K,) bool keep mask in the ORIGINAL ordering.
     """
@@ -190,6 +192,17 @@ def nms_mask(boxes, scores, iou_thr, valid=None):
     order = jnp.argsort(jnp.where(valid, scores, neg_inf))[::-1]
     sboxes = boxes[order]
     svalid = valid[order]
+
+    if use_pallas is None:
+        from .nms_pallas import PALLAS_NMS_MAX_K
+
+        use_pallas = jax.default_backend() == "tpu" and K <= PALLAS_NMS_MAX_K
+
+    if use_pallas:
+        from .nms_pallas import nms_mask_pallas_sorted
+
+        keep_sorted = nms_mask_pallas_sorted(sboxes, svalid, iou_thr)
+        return jnp.zeros((K,), dtype=bool).at[order].set(keep_sorted)
 
     iou = _iou_matrix(sboxes)
     rows = jnp.arange(K)

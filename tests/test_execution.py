@@ -155,3 +155,63 @@ def test_executor_end_to_end(tmp_path):
     w1 = jax.tree.leaves(ex.state.params)[0]
     w2 = jax.tree.leaves(ex2.state.params)[0]
     np.testing.assert_allclose(np.asarray(w1), np.asarray(w2))
+
+
+@pytest.mark.slow
+def test_executor_val_loop(tmp_path):
+    import json
+
+    from lfdtpu.data import DataLoader, IdleRegionSampler, RandomDatasetSampler, Compose, simple_normalize
+    from lfdtpu.evaluation import COCOEvaluator
+    from lfdtpu.execution import Executor, SGD, ConstantLRSchedule
+    from tests.test_detector import tiny_lfd
+
+    # in-memory dataset with image_id meta so COCOEvaluator can match
+    rng2 = np.random.RandomState(1)
+
+    class _ValDataset(_ArrayDataset):
+        def __init__(self):
+            super().__init__(4)
+            for i, s in self._samples.items():
+                s["image_id"] = i + 1
+                s["image"] = (rng2.rand(64, 64, 3) * 255).astype(np.uint8)
+                s["bboxes"] = [[8, 8, 16, 16]]
+                s["bbox_labels"] = [0]
+
+    ds = _ValDataset()
+    ann = {
+        "images": [{"id": i + 1, "height": 64, "width": 64, "file_name": f"{i}.jpg"} for i in range(4)],
+        "annotations": [
+            {"id": i + 1, "image_id": i + 1, "category_id": 1,
+             "bbox": [8, 8, 16, 16], "iscrowd": 0, "area": 256}
+            for i in range(4)
+        ],
+        "categories": [{"id": 1, "name": "obj"}],
+    }
+    ann_path = str(tmp_path / "val.json")
+    with open(ann_path, "w") as f:
+        json.dump(ann, f)
+
+    det = tiny_lfd()
+    train_loader = DataLoader(
+        ds, RandomDatasetSampler(ds, batch_size=4, seed=0), IdleRegionSampler(),
+        augmentation_pipeline=Compose([simple_normalize]), num_workers=1,
+        max_boxes_per_image=4,
+    )
+    val_loader = DataLoader(
+        ds, RandomDatasetSampler(ds, batch_size=4, shuffle=False, seed=0),
+        IdleRegionSampler(), augmentation_pipeline=Compose([simple_normalize]),
+        num_workers=1, max_boxes_per_image=4,
+    )
+    config = dict(
+        work_dir=str(tmp_path / "w"), training_epochs=1, display_interval=10,
+        save_interval=100, val_interval=1, seed=0, batch_size=4,
+        input_hw=(64, 64), model=det, optimizer=SGD(momentum=0.9),
+        lr_schedule=ConstantLRSchedule(base_lr=0.01),
+        train_data_loader=train_loader, val_data_loader=val_loader,
+        evaluator=COCOEvaluator(ann_path, {0: 1}),
+    )
+    ex = Executor(config)
+    ex.run()
+    # evaluator produced a display string (mAP may be ~0 untrained)
+    assert "mAP" in config["evaluator"].get_eval_display_str()

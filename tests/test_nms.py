@@ -96,3 +96,33 @@ def test_soft_nms_reference_doctest():
     )
     new_dets, inds = N.soft_nms(dets, 0.6, sigma=0.5)
     assert len(inds) == len(new_dets) == 5
+
+
+def test_pallas_nms_interpret_matches_lax(rng):
+    # Pallas kernel in interpreter mode (CPU) must match the lax fixpoint
+    import jax
+    import jax.numpy as jnp
+
+    from lfdtpu.ops.nms_pallas import nms_mask_pallas_sorted
+
+    for trial in range(4):
+        k = 128
+        xy = rng.rand(k, 2) * 100
+        wh = rng.rand(k, 2) * 40 + 1
+        boxes = np.concatenate([xy, xy + wh], axis=-1).astype(np.float32)
+        scores = rng.rand(k).astype(np.float32)
+        valid = rng.rand(k) > 0.2
+        order = np.argsort(-scores, kind="stable")
+        sboxes = jnp.asarray(boxes[order])
+        svalid = jnp.asarray(valid[order])
+
+        lax_keep = np.asarray(
+            N.nms_mask(jnp.asarray(boxes), jnp.asarray(scores), 0.5,
+                       valid=jnp.asarray(valid), use_pallas=False)
+        )
+        pl_keep_sorted = np.asarray(
+            nms_mask_pallas_sorted(sboxes, svalid, 0.5, interpret=True)
+        )
+        pl_keep = np.zeros(k, bool)
+        pl_keep[order] = pl_keep_sorted
+        np.testing.assert_array_equal(lax_keep, pl_keep)
