@@ -11,7 +11,7 @@ from .hooks import (
     LoggerHook,
     ProfilerHook,
 )
-from .optim import SGD, OptaxOptimizer, clip_by_global_norm, global_norm
+from .optim import SGD, GroupedSGD, OptaxOptimizer, bias_param_labels, clip_by_global_norm, global_norm
 from .schedules import (
     WarmupSetting,
     MultiStepLRSchedule,
@@ -33,7 +33,7 @@ __all__ = [
     "Hook", "Priority", "get_priority",
     "LrSchedulerHook", "OptimizerHook", "SpeedHook", "CheckpointHook",
     "EvaluationHook", "LoggerHook", "ProfilerHook",
-    "SGD", "OptaxOptimizer", "clip_by_global_norm", "global_norm",
+    "SGD", "GroupedSGD", "OptaxOptimizer", "bias_param_labels", "clip_by_global_norm", "global_norm",
     "WarmupSetting", "MultiStepLRSchedule", "ConstantLRSchedule", "CosineLRSchedule",
     "AverageMeter", "get_root_logger", "collect_envs",
     "customize_exception_hook", "set_random_seed",

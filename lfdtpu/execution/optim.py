@@ -84,3 +84,70 @@ def clip_by_global_norm(grads, max_norm, enabled):
         (gnorm > max_norm) & enabled, max_norm / (gnorm + 1e-6), 1.0
     )
     return jax.tree.map(lambda g: g * scale, grads), gnorm
+
+
+def bias_param_labels(params):
+    """Label each leaf 'bias' or 'other' following the reference's
+    param-group split (`lfd/model/fcos.py:53-80`): conv biases form the bias
+    group; norm affine params (scale/bias of BatchNorm/GroupNorm) stay in
+    the main group."""
+
+    def label(path, leaf):
+        names = [str(getattr(p, "key", p)) for p in path]
+        is_norm = any(("BatchNorm" in n) or ("GroupNorm" in n) or (n == "Norm_0") for n in names)
+        if not is_norm and names and names[-1] == "bias":
+            return "bias"
+        return "other"
+
+    return jax.tree_util.tree_map_with_path(label, params)
+
+
+@dataclasses.dataclass(frozen=True)
+class GroupedSGD:
+    """SGD with a separate lr/weight-decay for the bias group
+    (reference `param_groups_cfg` with bias_lr / bias_weight_decay).
+
+    The runtime `lr` argument scales both groups proportionally
+    (lr_bias = lr * bias_lr / learning_rate), preserving schedule shape.
+    """
+
+    learning_rate: float = 0.1
+    momentum: float = 0.0
+    weight_decay: float = 0.0
+    bias_lr: float = None
+    bias_weight_decay: float = None
+
+    def _opts(self):
+        main = SGD(self.learning_rate, self.momentum, self.weight_decay)
+        bias = SGD(
+            self.bias_lr if self.bias_lr is not None else self.learning_rate,
+            self.momentum,
+            self.bias_weight_decay if self.bias_weight_decay is not None else self.weight_decay,
+        )
+        return main, bias
+
+    def init(self, params):
+        main, _ = self._opts()
+        return main.init(params)
+
+    def update(self, grads, state, params, lr):
+        main, bias = self._opts()
+        labels = bias_param_labels(params)
+        lr_scale_bias = (
+            (self.bias_lr / self.learning_rate)
+            if (self.bias_lr is not None and self.learning_rate)
+            else 1.0
+        )
+
+        def upd(lbl, g, p, buf):
+            o = bias if lbl == "bias" else main
+            this_lr = lr * lr_scale_bias if lbl == "bias" else lr
+            wd = o.weight_decay
+            g = g + wd * p if wd else g
+            buf = o.momentum * buf + g if o.momentum else g
+            return -this_lr * buf, buf
+
+        flat = jax.tree.map(upd, labels, grads, params, state.momentum_buf)
+        updates = jax.tree.map(lambda t: t[0], flat, is_leaf=lambda x: isinstance(x, tuple))
+        bufs = jax.tree.map(lambda t: t[1], flat, is_leaf=lambda x: isinstance(x, tuple))
+        return updates, SGDState(bufs)

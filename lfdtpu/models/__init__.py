@@ -6,7 +6,7 @@ from .necks import SimpleNeck, FPN, SimpleFPN
 from .heads import LFDHead, LFDHeadV1, FCOSHead
 from .detector import LFD, DetectionNet, pad_to_multiple
 from .lfdv2 import LFDv2, LFDv2Q
-from .fcos import FCOS
+from .fcos import FCOS, FCOSv1
 
 __all__ = [
     "ConvNormAct", "Norm", "Scale", "activation_from_cfg",
@@ -16,5 +16,5 @@ __all__ = [
     "SimpleNeck", "FPN", "SimpleFPN",
     "LFDHead", "LFDHeadV1", "FCOSHead",
     "LFD", "DetectionNet", "pad_to_multiple",
-    "LFDv2", "LFDv2Q", "FCOS",
+    "LFDv2", "LFDv2Q", "FCOS", "FCOSv1",
 ]

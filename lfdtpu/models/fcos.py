@@ -271,3 +271,67 @@ class FCOS:
         decoded = run(variables, jnp.asarray(padded), jnp.asarray([h, w], jnp.float32),
                       self.level_arrays(input_hw))
         return detections_to_lists(decoded)
+
+
+class FCOSv1(FCOS):
+    """Experimental multi-class-per-point FCOS (`lfd/model/fcos.py:452-795`):
+    classification becomes P*C independent binary problems — predictions
+    reshape to (P*C, 1) and each (point, class) pair gets a binary
+    focal-loss target (fg if any valid GT of that class covers the point).
+    Regression/centerness follow FCOS on the min-area GT."""
+
+    detector_name = "FCOSv1"
+
+    def get_loss(self, predict_outputs, gt_bboxes, gt_labels, gt_mask, input_hw,
+                 level_arrays=None):
+        cls_pred, reg_pred, ctr_pred = predict_outputs
+        B = cls_pred.shape[0]
+        info = level_arrays if level_arrays is not None else self.level_arrays(input_hw)
+
+        fg_t, reg_t = jax.vmap(
+            lambda b, l, m: assign_ops.fcos_v1_assign(
+                info["points"], info["ranges"], b, l, m, self.num_classes,
+            )
+        )(gt_bboxes, gt_labels.astype(jnp.int32), gt_mask)
+
+        fg_f = fg_t.reshape(-1, self.num_classes)  # (B*P, C) bool
+        reg_pred_f = reg_pred.reshape(-1, 4)
+        ctr_pred_f = ctr_pred.reshape(-1)
+        reg_t_f = reg_t.reshape(-1, 4)
+
+        pos = jnp.any(fg_f, axis=-1).astype(jnp.float32)  # point positive
+        num_pos = jnp.sum(pos)
+
+        # each (point, class) is a binary problem: FL over (B*P*C, 1) logits
+        # with label 0 = foreground, 1 (== num_classes of the binary view)
+        # = background (`fcos.py:711-739`)
+        bin_logits = cls_pred.reshape(-1, 1)
+        bin_labels = jnp.where(fg_f.reshape(-1), 0, 1).astype(jnp.int32)
+        classification_loss = self.classification_loss_func(
+            bin_logits, bin_labels, avg_factor=num_pos + B
+        )
+
+        ctr_t = assign_ops.centerness_target(reg_t_f) * pos
+        points = jnp.tile(info["points"], (B, 1))
+        pred_xyxy = box_ops.distance2bbox(points, reg_pred_f.astype(jnp.float32))
+        target_xyxy = box_ops.distance2bbox(points, reg_t_f)
+        regression_loss = self.regression_loss_func(
+            pred_xyxy, target_xyxy, weight=ctr_t,
+            avg_factor=jnp.maximum(jnp.sum(ctr_t), 1e-6),
+        )
+        centerness_loss = binary_cross_entropy_loss(
+            ctr_pred_f[:, None], ctr_t[:, None], weight=pos[:, None],
+            avg_factor=jnp.maximum(num_pos, 1.0),
+        )
+
+        loss = classification_loss + regression_loss + centerness_loss
+        return dict(
+            loss=loss,
+            loss_values=dict(
+                loss=loss,
+                classification_loss=classification_loss,
+                regression_loss=regression_loss,
+                centerness_loss=centerness_loss,
+                num_pos=num_pos,
+            ),
+        )

@@ -267,6 +267,40 @@ def fcos_assign(
     return labels, reg_targets
 
 
+def fcos_v1_assign(
+    points,
+    regression_ranges,
+    gt_bboxes,
+    gt_labels,
+    gt_mask,
+    num_classes,
+):
+    """FCOSv1 multi-class-per-point assignment (`lfd/model/fcos.py:575-640`):
+    every valid (point, gt) pair marks that gt's class foreground at the
+    point (a point may be positive for several classes); regression still
+    targets the min-area gt.
+
+    Returns (fg (P, C) bool, reg_targets (P, 4)).
+    """
+    P = points.shape[0]
+    delta, _, _ = _point_gt_geometry(points, gt_bboxes)
+    inside = jnp.min(delta, axis=-1) > 0
+    max_dist = jnp.max(delta, axis=-1)
+    in_range = (max_dist >= regression_ranges[:, None, 0]) & (
+        max_dist <= regression_ranges[:, None, 1]
+    )
+    valid = inside & in_range & gt_mask[None, :]
+
+    onehot = jax.nn.one_hot(gt_labels, num_classes, dtype=jnp.float32)  # (N, C)
+    fg = jnp.max(valid[:, :, None] * onehot[None, :, :], axis=1) > 0  # (P, C)
+
+    areas = (gt_bboxes[:, 2] * gt_bboxes[:, 3])[None, :]
+    areas = jnp.where(valid, areas, INF)
+    min_idx = jnp.argmin(areas, axis=1)
+    reg_targets = jnp.take_along_axis(delta, min_idx[:, None, None], axis=1)[:, 0, :]
+    return fg, reg_targets
+
+
 def centerness_target(reg_targets, eps=0.0):
     """FCOS centerness: sqrt((min/max lr) * (min/max tb)) (`fcos.py:211-215`)."""
     lr_min = jnp.minimum(reg_targets[..., 0], reg_targets[..., 2])

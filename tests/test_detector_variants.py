@@ -106,3 +106,51 @@ def test_fcos_loss_and_predict(rng):
     assert isinstance(res, list)
     for row in res:
         assert len(row) == 6
+
+
+def test_fcosv1_multiclass_loss(rng):
+    from lfdtpu.models import FCOSv1
+
+    bb, neck, head = _tiny_parts(3, None, None, head_cls=FCOSHead)
+    det = FCOSv1(backbone=bb, neck=neck, head=head, num_classes=3,
+                 regression_ranges=((0, 32), (32, 1e8)),
+                 point_strides=tuple(bb.num_output_strides_list),
+                 classification_loss_func=FocalLoss(),
+                 regression_loss_func=IoULoss())
+    variables = det.init(jax.random.PRNGKey(0), (64, 64))
+    images, gt, labels, mask = _batch(np.random.RandomState(3))
+    # two overlapping boxes with different classes -> multi-label points
+    gt[0, 1] = [12, 12, 24, 24]
+    labels[0, 0], labels[0, 1] = 0, 2
+    mask[0, 1] = True
+
+    @jax.jit
+    def loss_fn(variables):
+        outs, _ = det.forward(variables, jnp.asarray(images), train=True)
+        return det.get_loss(outs, jnp.asarray(gt), jnp.asarray(labels),
+                            jnp.asarray(mask), (64, 64))["loss"]
+
+    assert np.isfinite(float(loss_fn(variables)))
+
+
+def test_grouped_sgd_bias_groups():
+    from lfdtpu.execution.optim import GroupedSGD, bias_param_labels
+
+    params = {
+        "Conv_0": {"kernel": jnp.ones((3, 3, 4, 4)), "bias": jnp.ones((4,))},
+        "BatchNorm_0": {"scale": jnp.ones((4,)), "bias": jnp.ones((4,))},
+    }
+    labels = bias_param_labels(params)
+    assert labels["Conv_0"]["bias"] == "bias"
+    assert labels["Conv_0"]["kernel"] == "other"
+    assert labels["BatchNorm_0"]["bias"] == "other"  # norm bias excluded
+
+    opt = GroupedSGD(learning_rate=0.1, momentum=0.0, weight_decay=0.0,
+                     bias_lr=0.2)
+    state = opt.init(params)
+    grads = jax.tree.map(jnp.ones_like, params)
+    updates, state = opt.update(grads, state, params, 0.1)
+    # bias group steps at 2x the lr
+    np.testing.assert_allclose(np.asarray(updates["Conv_0"]["bias"]), -0.2)
+    np.testing.assert_allclose(np.asarray(updates["Conv_0"]["kernel"]), -0.1)
+    np.testing.assert_allclose(np.asarray(updates["BatchNorm_0"]["bias"]), -0.1)
