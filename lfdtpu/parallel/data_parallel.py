@@ -118,9 +118,13 @@ def make_train_step(
     return step
 
 
-def make_eval_step(detector, mesh=None):
+def make_eval_step(detector, mesh=None, spatial=False):
     """Jitted batched forward for the val loop (dense outputs; per-image
-    decode happens downstream)."""
+    decode happens downstream).
+
+    spatial=True additionally shards the image height over the mesh's
+    `spatial` axis — the 4K-inference analogue of sequence parallelism
+    (SURVEY.md §5): GSPMD inserts the conv halo exchanges over ICI."""
 
     def _fwd(state, images):
         variables = {"params": state.params, "batch_stats": state.batch_stats}
@@ -128,6 +132,11 @@ def make_eval_step(detector, mesh=None):
 
     if mesh is None:
         return jax.jit(_fwd)
-    bsh = batch_sharding(mesh)
     rep = replicated_sharding(mesh)
+    if spatial:
+        from .mesh import spatial_image_sharding
+
+        ish = spatial_image_sharding(mesh)
+        return jax.jit(_fwd, in_shardings=(rep, ish), out_shardings=batch_sharding(mesh))
+    bsh = batch_sharding(mesh)
     return jax.jit(_fwd, in_shardings=(rep, bsh), out_shardings=bsh)

@@ -65,3 +65,28 @@ def test_eval_step_sharded(rng):
     P = det.num_points((64, 64))
     assert cls_o.shape == (8, P, 1)
     assert reg_o.shape == (8, P, 4)
+
+
+def test_spatial_sharded_eval(rng):
+    # 2x4 (data x spatial) mesh: image height sharded over `spatial`;
+    # GSPMD inserts conv halo exchanges (4K-inference analogue of SP)
+    from lfdtpu.execution.optim import SGD
+    from lfdtpu.parallel.data_parallel import create_train_state, make_eval_step
+    from lfdtpu.parallel.mesh import make_mesh, spatial_image_sharding
+
+    det = tiny_lfd()
+    opt = SGD()
+    mesh = make_mesh(jax.devices()[:8], spatial=4)
+    state = create_train_state(det, opt, jax.random.PRNGKey(0), (64, 64))
+    fwd_sp = make_eval_step(det, mesh, spatial=True)
+    images_np = rng.rand(2, 64, 64, 3).astype(np.float32)
+    images = jax.device_put(images_np, spatial_image_sharding(mesh))
+    cls_sp, reg_sp = fwd_sp(state, images)
+
+    # reference: unsharded single-device result must match
+    fwd_ref = make_eval_step(det, None)
+    cls_ref, reg_ref = fwd_ref(state, jnp.asarray(images_np))
+    np.testing.assert_allclose(np.asarray(cls_sp), np.asarray(cls_ref),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(reg_sp), np.asarray(reg_ref),
+                               rtol=1e-4, atol=1e-5)
