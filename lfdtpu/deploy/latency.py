@@ -15,17 +15,28 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def timing_inference(engine, images, valid_hw, warmup_loops=10, timing_loops=100):
-    """Time a compiled engine. Returns dict(ms_per_image, fps)."""
-    images = jnp.asarray(images)
+def timing_inference(engine, images, valid_hw, warmup_loops=10, timing_loops=100,
+                     distinct_inputs=8):
+    """Time a compiled engine. Returns dict(ms_per_image, fps).
+
+    Rotates over `distinct_inputs` pre-uploaded input variants so runtimes
+    that memoize identical (executable, args) calls cannot shortcut the
+    measurement (observed on remote-attached TPU backends)."""
+    images = np.asarray(images)
     valid_hw = jnp.asarray(valid_hw, jnp.float32)
     batch = images.shape[0]
-    for _ in range(warmup_loops):
-        out = engine(images, valid_hw)
+    rng = np.random.RandomState(0)
+    variants = [jax.device_put(jnp.asarray(images))]
+    for _ in range(max(distinct_inputs - 1, 0)):
+        noise = rng.randint(0, 255, images.shape).astype(images.dtype)
+        variants.append(jax.device_put(jnp.asarray(noise)))
+    out = None
+    for i in range(max(warmup_loops, len(variants))):
+        out = engine(variants[i % len(variants)], valid_hw)
     jax.block_until_ready(out)
     t0 = time.perf_counter()
-    for _ in range(timing_loops):
-        out = engine(images, valid_hw)
+    for i in range(timing_loops):
+        out = engine(variants[i % len(variants)], valid_hw)
         jax.block_until_ready(out)
     dt = time.perf_counter() - t0
     ms = dt / timing_loops / batch * 1000.0
