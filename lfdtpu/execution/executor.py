@@ -111,6 +111,9 @@ class Executor:
             self.input_hw,
             mesh=self.mesh,
             clip_max_norm=float(clip_cfg["max_norm"]) if clip_cfg else 0.0,
+            # cfg['device_preprocess']: normalize on device so the loader
+            # can ship raw uint8 batches (see deploy.make_device_preprocess)
+            preprocess=cfg.get("device_preprocess"),
         )
         self._eval_step = None
 

@@ -136,8 +136,10 @@ class LFDResNet(nn.Module):
                     norm_cfg=norm_cfg,
                     name=f"stage{i}_block{j}",
                 )(x, stage_train)
+                if i < self.frozen_stages:
+                    # freeze: no gradient reaches this stage's params, even
+                    # through tapped outputs
+                    x = jax.lax.stop_gradient(x)
                 if (i, j) in out_indices:
                     outs.append(x)
-            if i < self.frozen_stages:
-                x = jax.lax.stop_gradient(x)
         return tuple(outs)

@@ -145,9 +145,9 @@ class ResNet(nn.Module):
                 if kind == "bottleneck":
                     kwargs["style"] = self.style
                 x = block_cls(**kwargs)(x, stage_train)
+                if stage_idx <= self.frozen_stages:
+                    x = jax.lax.stop_gradient(x)
                 if (stage_idx, j) in out_indices:
                     outs.append(x)
-            if stage_idx <= self.frozen_stages:
-                x = jax.lax.stop_gradient(x)
             planes *= 2
         return tuple(outs)

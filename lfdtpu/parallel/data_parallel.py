@@ -46,11 +46,16 @@ def make_train_step(
     clip_max_norm: float = 0.0,
     donate: bool = True,
     remat: bool = False,
+    preprocess=None,
 ):
     """Build the jitted data-parallel train step.
 
     Returns step(state, images, gt_bboxes, gt_labels, gt_mask, lr,
     clip_enabled) -> (state, metrics dict of scalars).
+
+    preprocess: optional device-side fn(images) (e.g.
+    deploy.make_device_preprocess) — lets the host ship raw uint8 batches
+    (4x less PCIe/tunnel traffic than normalized f32).
     """
     input_hw = (int(input_hw[0]), int(input_hw[1]))
     # point-grid constants ride as step arguments — closing over them embeds
@@ -60,6 +65,9 @@ def make_train_step(
     }
 
     def _step(state, level_arrays, images, gt_bboxes, gt_labels, gt_mask, lr, clip_enabled):
+        if preprocess is not None:
+            images = preprocess(images)
+
         def loss_fn(params):
             fwd = detector.forward
             if remat:
@@ -98,7 +106,10 @@ def make_train_step(
         metrics["grad_norm"] = grad_norm
         return new_state, metrics
 
-    if mesh is None:
+    # explicit shardings only for real multi-device meshes: the GSPMD arg
+    # path costs seconds per call on remote-attached single-chip backends
+    # (measured 1.4 ms plain jit vs ~5 s with shardings at mesh size 1)
+    if mesh is None or mesh.size == 1:
         jitted = jax.jit(_step, donate_argnums=(0,) if donate else ())
     else:
         bsh = batch_sharding(mesh)
@@ -130,7 +141,7 @@ def make_eval_step(detector, mesh=None, spatial=False):
         variables = {"params": state.params, "batch_stats": state.batch_stats}
         return detector(variables, images, train=False)
 
-    if mesh is None:
+    if mesh is None or mesh.size == 1:
         return jax.jit(_fwd)
     rep = replicated_sharding(mesh)
     if spatial:

@@ -162,3 +162,41 @@ def test_resnet50_param_count():
     v = rn.init(jax.random.PRNGKey(0), x)
     # reference ResNet depth=50 has 23,508,032 params (no fc)
     assert n_params(v["params"]) == 23508032
+
+
+def test_lfd_head_v1_shapes():
+    from lfdtpu.models import LFDHeadV1
+
+    head = LFDHeadV1(num_classes=2, num_heads=3, num_head_channels=32,
+                     num_conv_layers=2, conv_kernel_size=3,
+                     norm_cfg=dict(type="BatchNorm2d"),
+                     classification_loss_type="FocalLoss",
+                     regression_loss_type="IoULoss")
+    feats = [jnp.zeros((1, 2 ** (3 - i), 2 ** (3 - i), 32)) for i in range(3)]
+    v = head.init(jax.random.PRNGKey(0), feats)
+    cls_outs, reg_outs = head.apply(v, feats, mutable=["batch_stats"])[0]
+    assert len(cls_outs) == 3
+    assert cls_outs[0].shape[-1] == 2 and reg_outs[0].shape[-1] == 4
+    # shared trunks + per-level finals: only one cls_trunk in params
+    assert "cls_trunk" in v["params"] and "cls_final0" in v["params"]
+    assert "cls_final2" in v["params"]
+
+
+def test_frozen_stages_zero_grads():
+    bb = LFDResNet(block_mode="faster", stem_mode="fast", body_mode=None,
+                   stem_channels=8, body_architecture=(1, 1), body_channels=(8, 16),
+                   out_indices=((0, 0), (1, 0)), norm_cfg=dict(type="BatchNorm2d"),
+                   frozen_stages=1)
+    x = jnp.ones((1, 32, 32, 3))
+    v = bb.init(jax.random.PRNGKey(0), x, train=True)
+
+    def loss(params):
+        outs, _ = bb.apply({"params": params, "batch_stats": v["batch_stats"]},
+                           x, train=True, mutable=["batch_stats"])
+        return sum(jnp.sum(o) for o in outs)
+
+    g = jax.grad(loss)(v["params"])
+    # stem and stage0 frozen -> zero grads; stage1 live
+    assert float(jnp.abs(g["stem0"]["Conv_0"]["kernel"]).max()) == 0.0
+    assert float(jnp.abs(g["stage0_block0"]["ConvNormAct_0"]["Conv_0"]["kernel"]).max()) == 0.0
+    assert float(jnp.abs(g["stage1_block0"]["ConvNormAct_0"]["Conv_0"]["kernel"]).max()) > 0.0
