@@ -1,6 +1,12 @@
 from .compile import compile_inference, make_device_preprocess, cast_variables
 from .latency import timing_inference, inference_latency_evaluation
 from .quantize import Int8Calibrator, quantize_variables_int8
+from .int8_net import (
+    int8_interception,
+    int8_apply,
+    calibrate_activation_scales,
+    ActScaleObserver,
+)
 
 __all__ = [
     "compile_inference",
@@ -10,4 +16,8 @@ __all__ = [
     "inference_latency_evaluation",
     "Int8Calibrator",
     "quantize_variables_int8",
+    "int8_interception",
+    "int8_apply",
+    "calibrate_activation_scales",
+    "ActScaleObserver",
 ]

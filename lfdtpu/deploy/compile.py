@@ -58,6 +58,7 @@ def compile_inference(
     class_agnostic=False,
     max_det=None,
     batch_size=1,
+    act_scales=None,
 ):
     """Build ("compile") one inference engine.
 
@@ -78,9 +79,10 @@ def compile_inference(
         run_vars = cast_variables(variables, jnp.bfloat16)
         compute_dtype = jnp.bfloat16
     elif precision == "int8":
-        # variables must already be int8-calibrated (quantize.py)
+        # true int8 convs (int8_net.py): per-out-channel weight scales,
+        # static (calibrated act_scales) or dynamic activation scales
         run_vars = variables
-        compute_dtype = jnp.bfloat16
+        compute_dtype = jnp.float32
     else:
         raise ValueError(f"unknown precision {precision}")
 
@@ -100,7 +102,13 @@ def compile_inference(
         if preprocess is not None:
             x = preprocess(x)
         x = x.astype(compute_dtype)
-        cls_o, reg_o = detector.net.apply(run_vars, x, train=False)
+        if precision == "int8":
+            from .int8_net import int8_interception
+
+            with int8_interception(act_scales=act_scales):
+                cls_o, reg_o = detector.net.apply(run_vars, x, train=False)
+        else:
+            cls_o, reg_o = detector.net.apply(run_vars, x, train=False)
         cls_o = cls_o.astype(jnp.float32)
         reg_o = reg_o.astype(jnp.float32)
         decode = lambda c, r: detector.decode_single(

@@ -1,0 +1,118 @@
+# True int8 inference path: every nn.Conv in the detector runs as an
+# int8 x int8 -> int32 convolution on the MXU (v5e: 2x the bf16 peak),
+# with per-output-channel weight scales and per-tensor activation scales.
+#
+# Implementation: a flax method interceptor swaps the conv computation at
+# apply-time — no parallel module tree, the original variables are reused.
+# Activation scales are either static (calibrated with Int8Calibrator-style
+# amax observation, reference `build_engine.py:22-71`) or dynamic
+# (per-call amax, one reduction per layer).
+
+from __future__ import annotations
+
+import contextlib
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+def _conv_padding(mod):
+    p = mod.padding
+    return p if isinstance(p, str) else p
+
+
+def _quantize_weights(kernel):
+    """Per-output-channel symmetric int8 quantization of an HWIO kernel."""
+    amax = jnp.max(jnp.abs(kernel), axis=(0, 1, 2), keepdims=True)
+    scale = jnp.maximum(amax, 1e-8) / 127.0
+    q = jnp.clip(jnp.round(kernel / scale), -127, 127).astype(jnp.int8)
+    return q, scale[0, 0, 0, :]  # (Cout,)
+
+
+def _int8_conv(mod, x, act_scale):
+    kernel = mod.variables["params"]["kernel"]
+    bias = mod.variables["params"].get("bias")
+
+    if act_scale is None:  # dynamic per-tensor activation scale
+        act_scale = jnp.maximum(jnp.max(jnp.abs(x)), 1e-8) / 127.0
+    xq = jnp.clip(jnp.round(x / act_scale), -127, 127).astype(jnp.int8)
+    wq, w_scale = _quantize_weights(kernel)
+
+    strides = mod.strides if isinstance(mod.strides, tuple) else (mod.strides, mod.strides)
+    y = jax.lax.conv_general_dilated(
+        xq,
+        wq,
+        window_strides=strides,
+        padding=_conv_padding(mod),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=mod.feature_group_count,
+        preferred_element_type=jnp.int32,
+    )
+    y = y.astype(jnp.float32) * (act_scale * w_scale)
+    if bias is not None:
+        y = y + bias
+    return y.astype(x.dtype)
+
+
+class ActScaleObserver:
+    """Collects per-conv activation amax over calibration batches
+    (keyed by the module path). Use via int8_interception(observer=...)."""
+
+    def __init__(self):
+        self.amax = {}
+
+    def update(self, path, value):
+        v = float(value)
+        self.amax[path] = max(self.amax.get(path, 0.0), v)
+
+    def scales(self):
+        return {k: max(v, 1e-8) / 127.0 for k, v in self.amax.items()}
+
+
+@contextlib.contextmanager
+def int8_interception(act_scales=None, observer=None):
+    """Context manager: inside it, detector.net.apply runs convs in int8.
+
+    act_scales: {module_path_str: float} static activation scales (from a
+      calibration pass); missing entries fall back to dynamic scales.
+    observer: when set, convs run in the original dtype but activation amax
+      values are recorded per path (calibration mode; use OUTSIDE jit).
+    """
+
+    def interceptor(next_fun, args, kwargs, context):
+        mod = context.module
+        if not isinstance(mod, nn.Conv) or context.method_name != "__call__":
+            return next_fun(*args, **kwargs)
+        x = args[0]
+        path = "/".join(str(p) for p in mod.path)
+        if observer is not None:
+            observer.update(path, jnp.max(jnp.abs(x)))
+            return next_fun(*args, **kwargs)
+        scale = None
+        if act_scales is not None and path in act_scales:
+            scale = jnp.float32(act_scales[path])
+        return _int8_conv(mod, x, scale)
+
+    with nn.intercept_methods(interceptor):
+        yield
+
+
+def calibrate_activation_scales(detector, variables, batches, preprocess=None):
+    """Run calibration batches through the net (eagerly), collecting
+    per-conv activation amax; returns {path: scale} for static int8."""
+    obs = ActScaleObserver()
+    with int8_interception(observer=obs):
+        for batch in batches:
+            x = jnp.asarray(batch)
+            if preprocess is not None:
+                x = preprocess(x)
+            detector.net.apply(variables, x.astype(jnp.float32), train=False)
+    return obs.scales()
+
+
+def int8_apply(detector, variables, images, act_scales=None):
+    """Forward pass with int8 convs (jit-safe; close over act_scales dict
+    of python floats only)."""
+    with int8_interception(act_scales=act_scales):
+        return detector.net.apply(variables, images, train=False)

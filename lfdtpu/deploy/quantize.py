@@ -7,9 +7,11 @@
 # host loop feeds the jitted net with intermediate taps). Weights get
 # per-output-channel scales.
 #
-# Round-1 scope: weight quantize/dequantize ("fake quant") — numerics match
-# an int8 engine while math runs in bf16; a true int8 lax.conv path (int8 x
-# int8 -> int32 on the MXU) is the planned upgrade.
+# quantize_variables_int8 below is the lightweight fake-quant tool (weight
+# precision loss with f32 math); the TRUE int8 conv path (int8 x int8 ->
+# int32 on the MXU, per-channel weight scales, calibrated or dynamic
+# activation scales) lives in int8_net.py and is what
+# compile_inference(precision="int8") uses.
 
 from __future__ import annotations
 

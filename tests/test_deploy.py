@@ -85,3 +85,40 @@ def test_cast_variables_dtype():
     for leaf in jax.tree.leaves(b):
         if jnp.issubdtype(leaf.dtype, jnp.floating):
             assert leaf.dtype == jnp.bfloat16
+
+
+def test_int8_true_path_runs_and_is_close(rng):
+    from lfdtpu.deploy.int8_net import calibrate_activation_scales, int8_apply
+
+    det, variables, img = _engine_setup()
+    x = jnp.asarray(img.astype(np.float32) / 255.0)
+
+    ref_cls, ref_reg = det.net.apply(variables, x, train=False)
+
+    # dynamic activation scales
+    cls_d, reg_d = jax.jit(
+        lambda v, x: int8_apply(det, v, x)
+    )(variables, x)
+    assert cls_d.shape == ref_cls.shape
+    # int8 is lossy but must correlate strongly with f32
+    cc = np.corrcoef(np.asarray(cls_d).ravel(), np.asarray(ref_cls).ravel())[0, 1]
+    assert cc > 0.98, cc
+
+    # calibrated static scales
+    scales = calibrate_activation_scales(det, variables, [np.asarray(x)])
+    assert len(scales) > 5
+    cls_s, reg_s = jax.jit(
+        lambda v, x: int8_apply(det, v, x, act_scales=scales)
+    )(variables, x)
+    cc2 = np.corrcoef(np.asarray(cls_s).ravel(), np.asarray(ref_cls).ravel())[0, 1]
+    assert cc2 > 0.98, cc2
+
+
+def test_int8_engine_end_to_end():
+    det, variables, img = _engine_setup()
+    pre = make_device_preprocess((0.5, 0.5, 0.5), (0.5, 0.5, 0.5))
+    eng = compile_inference(det, variables, (64, 64), "int8", preprocess=pre,
+                            classification_threshold=0.01)
+    out = eng(jnp.asarray(img), jnp.asarray([64.0, 64.0]))
+    assert int(out["count"][0]) >= 0
+    assert np.isfinite(np.asarray(out["scores"])).all()
