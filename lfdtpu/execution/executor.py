@@ -117,6 +117,7 @@ class Executor:
         )
         self._eval_step = None
 
+        self._pending_metrics = []
         self._hooks = []
         self._register_default_hooks()
         for h in cfg.get("extra_hooks", []):
@@ -176,16 +177,26 @@ class Executor:
                 np.float32(cfg["current_lr"]),
                 np.bool_(cfg.get("clip_enabled", False)),
             )
-            # host-side metering (reference meters every iter;
-            # conversion syncs on the step's completion)
-            bs = cfg["batch_size"]
+            # async metering: keep device scalars and convert only at
+            # display time, so steps pipeline without a host sync each iter
+            # (the reference syncs every iter via loss.item())
+            self._pending_metrics.append((metrics, cfg["batch_size"]))
+            display = cfg["display_interval"]
+            if (inner + 1) % display == 0 or (inner + 1) == len(cfg["train_data_loader"]):
+                self._flush_metrics()
+            self.call_hooks("after_train_iter")
+            cfg["train_iter"] += 1
+        self._flush_metrics()
+        self.call_hooks("after_train_epoch")
+
+    def _flush_metrics(self):
+        cfg = self.config_dict
+        for metrics, bs in self._pending_metrics:
             for name, val in metrics.items():
                 if "loss" in name:
                     cfg["train_average_meter"].update(name, float(val), bs)
             cfg["grad_norm"] = float(metrics["grad_norm"])
-            self.call_hooks("after_train_iter")
-            cfg["train_iter"] += 1
-        self.call_hooks("after_train_epoch")
+        self._pending_metrics.clear()
 
     def val(self):
         cfg = self.config_dict
