@@ -26,6 +26,12 @@ from lfdtpu.execution import (
 )
 
 
+def _env_int(name, default):
+    import os as _os
+
+    return int(_os.environ.get(name, default))
+
+
 def prepare_common_settings(config_dict, script_path):
     config_dict["timestamp"] = time.strftime("%Y%m%d_%H%M%S", time.localtime())
     base = os.path.basename(script_path).split(".")[0]
@@ -41,7 +47,9 @@ def prepare_common_settings(config_dict, script_path):
     sys.excepthook = customize_exception_hook(
         os.path.join(config_dict["work_dir"], "exception_log_" + config_dict["timestamp"] + ".log")
     )
-    config_dict["training_epochs"] = 1000
+    # LFD_EPOCHS / LFD_BATCH_SIZE / LFD_NUM_WORKERS / LFD_DATASET_PATH env
+    # overrides support smoke runs without editing the config script
+    config_dict["training_epochs"] = _env_int("LFD_EPOCHS", 1000)
     config_dict["seed"] = 666
     if config_dict["seed"] is not None:
         set_random_seed(config_dict["seed"])
@@ -61,10 +69,14 @@ def prepare_model(config_dict, size):
 
 
 def prepare_data_pipeline(config_dict):
-    config_dict["batch_size"] = 64
-    config_dict["num_train_workers"] = 12
+    import os as _os
+
+    config_dict["batch_size"] = _env_int("LFD_BATCH_SIZE", 64)
+    config_dict["num_train_workers"] = _env_int("LFD_NUM_WORKERS", 12)
     config_dict["num_val_workers"] = 0
-    config_dict["train_dataset_path"] = "./WIDERFACE_pack/widerface_train.pkl"
+    config_dict["train_dataset_path"] = _os.environ.get(
+        "LFD_DATASET_PATH", "./WIDERFACE_pack/widerface_train.pkl"
+    )
     config_dict["input_hw"] = (480, 480)  # crop_size 480
 
     train_dataset = Dataset(load_path=config_dict["train_dataset_path"])
@@ -96,9 +108,10 @@ def prepare_optimizer(config_dict):
         momentum=config_dict["momentum"], weight_decay=config_dict["weight_decay"]
     )
     config_dict["optimizer_grad_clip_cfg"] = dict(max_norm=10, norm_type=2, duration=5)
-    config_dict["milestones"] = [500, 700, 900]
+    config_dict["milestones"] = [
+        m for m in (500, 700, 900) if m < config_dict["training_epochs"]
+    ]
     config_dict["gamma"] = 0.1
-    assert max(config_dict["milestones"]) < config_dict["training_epochs"]
     config_dict["warmup_setting"] = dict(
         by_epoch=False, warmup_mode="linear", warmup_loops=200, warmup_ratio=0.1
     )
