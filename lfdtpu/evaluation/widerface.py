@@ -18,7 +18,10 @@ def SIO_evaluation(
     nms_threshold=0.3,
     aug_pipeline=None,
     verbose=True,
+    size_divisor=128,
 ):
+    # size_divisor buckets the pad-to resolution: WIDERFACE val has ~3k
+    # distinct image sizes; a coarser divisor bounds the jit-compile count
     assert os.path.exists(val_image_root)
     os.makedirs(results_save_root, exist_ok=True)
 
@@ -39,6 +42,7 @@ def SIO_evaluation(
                 classification_threshold=classification_threshold,
                 nms_threshold=nms_threshold,
                 class_agnostic=True,
+                size_divisor=size_divisor,
             )
             event_name = os.path.basename(parent)
             event_dir = os.path.join(results_save_root, event_name)
