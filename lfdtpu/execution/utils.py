@@ -166,3 +166,37 @@ def load_checkpoint(path, strict=True, target_structure=None, logger=None):
                 raise ValueError(msg)
             (logger.warning if logger else print)(msg)
     return state, meta
+
+
+def load_backbone_weights(params, ckpt_path, prefix="backbone", logger=None):
+    """Initialize backbone params from a full-model checkpoint, stripping a
+    leading subtree prefix if present (the reference strips a 'backbone.'
+    key prefix from pretrained state_dicts, `lfd_resnet.py:314-340`).
+
+    params: the target backbone params subtree. Returns a new subtree with
+    matching leaves replaced; missing/unexpected keys are reported.
+    """
+    state, _meta = load_checkpoint(ckpt_path, strict=False, logger=logger)
+    src = state.get("params", state)
+    if prefix and prefix in src:
+        src = src[prefix]
+
+    import jax
+
+    flat_tgt = dict(jax.tree_util.tree_flatten_with_path(params)[0])
+    flat_src = dict(jax.tree_util.tree_flatten_with_path(src)[0])
+    missing = [k for k in flat_tgt if k not in flat_src]
+    unexpected = [k for k in flat_src if k not in flat_tgt]
+    if (missing or unexpected) and logger is not None:
+        logger.warning(
+            f"backbone init: {len(missing)} missing, {len(unexpected)} unexpected keys"
+        )
+    merged = {
+        k: np.asarray(flat_src[k]).astype(np.asarray(v).dtype)
+        if k in flat_src else v
+        for k, v in flat_tgt.items()
+    }
+    leaves = [merged[k] for k, _ in jax.tree_util.tree_flatten_with_path(params)[0]]
+    return jax.tree_util.tree_unflatten(
+        jax.tree_util.tree_structure(params), leaves
+    )

@@ -462,3 +462,36 @@ class LFD:
             self.level_arrays(input_hw),
         )
         return detections_to_lists(decoded)
+
+    def predict_for_single_image_with_engine(self, engine, image, aug_pipeline=None):
+        """Predict through a compiled deployment engine (the analogue of the
+        reference's `predict_for_single_image_with_tensorrt`, `lfd.py:657-800`
+        — there TRT replaced only the conv forward; here the engine is the
+        whole pipeline incl. decode+NMS).
+
+        The image is padded to the engine's input resolution; build the
+        engine with deploy.compile_inference at a bucket covering your sizes.
+        """
+        import cv2
+
+        if isinstance(image, str):
+            image = cv2.imread(image, cv2.IMREAD_UNCHANGED)
+            assert image is not None
+        if aug_pipeline is not None:
+            from ..data.sample import Sample
+
+            sample = Sample()
+            sample["image"] = image
+            image = aug_pipeline(sample)["image"]
+        image = np.asarray(image)
+        if image.ndim == 2:
+            image = np.tile(image[..., None], (1, 1, 3))
+        h, w = image.shape[:2]
+        eh, ew = engine.input_resolution
+        assert h <= eh and w <= ew, (
+            f"image {h}x{w} exceeds engine resolution {eh}x{ew}"
+        )
+        padded = np.zeros((eh, ew, image.shape[2]), image.dtype)
+        padded[:h, :w] = image
+        decoded = engine(padded[None], np.asarray([h, w], np.float32))
+        return detections_to_lists({k: v[0] for k, v in decoded.items()})

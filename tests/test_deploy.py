@@ -122,3 +122,14 @@ def test_int8_engine_end_to_end():
     out = eng(jnp.asarray(img), jnp.asarray([64.0, 64.0]))
     assert int(out["count"][0]) >= 0
     assert np.isfinite(np.asarray(out["scores"])).all()
+
+
+def test_predict_with_engine_method():
+    det, variables, img = _engine_setup()
+    pre = make_device_preprocess((0.5, 0.5, 0.5), (0.5, 0.5, 0.5))
+    eng = compile_inference(det, variables, (64, 64), "fp32", preprocess=pre,
+                            classification_threshold=0.01)
+    res = det.predict_for_single_image_with_engine(eng, img[0][:48, :56])
+    assert isinstance(res, list)
+    for row in res:
+        assert len(row) == 6

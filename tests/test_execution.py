@@ -215,3 +215,22 @@ def test_executor_val_loop(tmp_path):
     ex.run()
     # evaluator produced a display string (mAP may be ~0 untrained)
     assert "mAP" in config["evaluator"].get_eval_display_str()
+
+
+def test_load_backbone_weights(tmp_path):
+    from lfdtpu.execution.utils import load_backbone_weights, save_checkpoint
+    from tests.test_detector import tiny_lfd
+
+    det = tiny_lfd()
+    v1 = det.init(jax.random.PRNGKey(1), (64, 64))
+    # checkpoint of the FULL model; backbone subtree lives under 'backbone'
+    save_checkpoint(str(tmp_path / "full.ckpt"), {"params": v1["params"]})
+
+    det2 = tiny_lfd()
+    v2 = det2.init(jax.random.PRNGKey(2), (64, 64))
+    loaded = load_backbone_weights(
+        v2["params"]["backbone"], str(tmp_path / "full.ckpt"), prefix="backbone"
+    )
+    a = jax.tree.leaves(loaded)[0]
+    b = jax.tree.leaves(v1["params"]["backbone"])[0]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b))
