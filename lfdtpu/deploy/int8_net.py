@@ -15,6 +15,7 @@ import contextlib
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def _conv_padding(mod):
@@ -99,16 +100,44 @@ def int8_interception(act_scales=None, observer=None):
 
 
 def calibrate_activation_scales(detector, variables, batches, preprocess=None):
-    """Run calibration batches through the net (eagerly), collecting
-    per-conv activation amax; returns {path: scale} for static int8."""
-    obs = ActScaleObserver()
-    with int8_interception(observer=obs):
-        for batch in batches:
-            x = jnp.asarray(batch)
-            if preprocess is not None:
-                x = preprocess(x)
-            detector.net.apply(variables, x.astype(jnp.float32), train=False)
-    return obs.scales()
+    """Collect per-conv activation amax over calibration batches.
+
+    Runs as ONE jitted call per batch that returns every conv's amax —
+    never eager: flooding this backend with eager op dispatches permanently
+    degrades the process's per-call latency (measured 0.3 ms -> 40 ms for
+    all subsequent compiled calls). Returns {path: scale}.
+    """
+
+    names = []
+
+    def traced(variables, x):
+        if preprocess is not None:
+            x = preprocess(x)
+        x = x.astype(jnp.float32)
+        collected = []
+        names.clear()
+
+        def interceptor(next_fun, args, kwargs, context):
+            mod = context.module
+            if isinstance(mod, nn.Conv) and context.method_name == "__call__":
+                names.append("/".join(str(p) for p in mod.path))
+                collected.append(jnp.max(jnp.abs(args[0])))
+            return next_fun(*args, **kwargs)
+
+        with nn.intercept_methods(interceptor):
+            detector.net.apply(variables, x, train=False)
+        # single stacked vector: one D2H transfer per batch (multi-array
+        # transfers degrade this backend's process permanently)
+        return jnp.stack(collected)
+
+    jitted = jax.jit(traced)
+    amax = None
+    for batch in batches:
+        vec = np.asarray(jitted(variables, jnp.asarray(batch)))
+        amax = vec if amax is None else np.maximum(amax, vec)
+    return {
+        k: max(float(v), 1e-8) / 127.0 for k, v in zip(names, amax)
+    }
 
 
 def int8_apply(detector, variables, images, act_scales=None):
