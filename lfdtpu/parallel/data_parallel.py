@@ -47,6 +47,7 @@ def make_train_step(
     donate: bool = True,
     remat: bool = False,
     preprocess=None,
+    mixed_precision: bool = False,
 ):
     """Build the jitted data-parallel train step.
 
@@ -56,8 +57,18 @@ def make_train_step(
     preprocess: optional device-side fn(images) (e.g.
     deploy.make_device_preprocess) — lets the host ship raw uint8 batches
     (4x less PCIe/tunnel traffic than normalized f32).
+    mixed_precision: run the conv net forward/backward in bf16 (f32 master
+    weights, f32 loss/assignment/optimizer). bf16's 8-bit exponent needs no
+    loss scaling. The reference has no equivalent (f32-only training).
     """
     input_hw = (int(input_hw[0]), int(input_hw[1]))
+
+    def _cast_bf16(tree):
+        return jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16)
+            if jnp.issubdtype(x.dtype, jnp.floating) else x,
+            tree,
+        )
     # point-grid constants ride as step arguments — closing over them embeds
     # per-call-uploaded constants on the remote-TPU backend (measured ~30 ms)
     level_arrays = {
@@ -69,21 +80,24 @@ def make_train_step(
             images = preprocess(images)
 
         def loss_fn(params):
-            fwd = detector.forward
+            fwd_params = _cast_bf16(params) if mixed_precision else params
+            x = images.astype(jnp.bfloat16) if mixed_precision else images
             if remat:
                 fwd = jax.checkpoint(
                     lambda v, im: detector.forward(v, im, train=True),
                     static_argnums=(),
                 )
                 outs, mutated = fwd(
-                    {"params": params, "batch_stats": state.batch_stats}, images
+                    {"params": fwd_params, "batch_stats": state.batch_stats}, x
                 )
             else:
                 outs, mutated = detector.forward(
-                    {"params": params, "batch_stats": state.batch_stats},
-                    images,
+                    {"params": fwd_params, "batch_stats": state.batch_stats},
+                    x,
                     train=True,
                 )
+            if mixed_precision:
+                outs = tuple(o.astype(jnp.float32) for o in outs)
             ld = detector.get_loss(
                 outs, gt_bboxes, gt_labels, gt_mask, input_hw,
                 level_arrays=level_arrays,
@@ -93,6 +107,11 @@ def make_train_step(
         (loss, (new_bs, loss_values)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(state.params)
+        if mixed_precision:
+            # keep running norm stats in their f32 master dtype
+            new_bs = jax.tree.map(
+                lambda t, s: s.astype(t.dtype), state.batch_stats, new_bs
+            )
 
         if clip_max_norm > 0:
             grads, grad_norm = clip_by_global_norm(grads, clip_max_norm, clip_enabled)

@@ -90,3 +90,28 @@ def test_spatial_sharded_eval(rng):
                                rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(reg_sp), np.asarray(reg_ref),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_mixed_precision_and_remat_train_step(rng):
+    from lfdtpu.execution.optim import SGD
+    from lfdtpu.parallel.data_parallel import create_train_state, make_train_step
+
+    det = tiny_lfd()
+    opt = SGD(momentum=0.9)
+    images, gt, labels, mask = _mk_batch(rng, 4)
+    args = (jnp.asarray(images), jnp.asarray(gt), jnp.asarray(labels),
+            jnp.asarray(mask), jnp.float32(0.01), jnp.bool_(True))
+
+    for kwargs in (dict(mixed_precision=True), dict(remat=True),
+                   dict(mixed_precision=True, remat=True)):
+        state = create_train_state(det, opt, jax.random.PRNGKey(0), (64, 64))
+        step = make_train_step(det, opt, (64, 64), mesh=None,
+                               clip_max_norm=10.0, donate=False, **kwargs)
+        s1, m1 = step(state, *args)
+        s2, m2 = step(s1, *args)
+        assert np.isfinite(float(m2["loss"]))
+        # master params stay f32; loss decreases over two identical steps
+        for leaf in jax.tree.leaves(s2.params):
+            if jnp.issubdtype(leaf.dtype, jnp.floating):
+                assert leaf.dtype == jnp.float32
+        assert float(m2["loss"]) < float(m1["loss"]) * 1.5
