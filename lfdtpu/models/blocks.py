@@ -28,7 +28,7 @@ class _Shortcut(nn.Module):
             self.features,
             kernel_size=(1, 1),
             strides=(self.stride, self.stride),
-            padding="SAME",
+            padding=[(0, 0), (0, 0)],
             use_bias=self.norm_cfg is None,
             kernel_init=kaiming_out,
         )(x)

@@ -35,8 +35,8 @@ class _HeadPath(nn.Module):
             )(x, train)
         if self.final_features is not None:
             x = nn.Conv(
-                self.final_features, (1, 1), padding="SAME", use_bias=True,
-                kernel_init=head_init, name="final",
+                self.final_features, (1, 1), padding=[(0, 0), (0, 0)],
+                use_bias=True, kernel_init=head_init, name="final",
             )(x)
         return x
 
@@ -186,13 +186,13 @@ class FCOSHead(nn.Module):
                               self.norm_cfg, _RELU, name="cls_tower")
         reg_tower = _HeadPath(self.num_layers, self.num_head_channels, 3,
                               self.norm_cfg, _RELU, name="reg_tower")
-        cls_final = nn.Conv(self.num_classes, (3, 3), padding="SAME", use_bias=True,
+        cls_final = nn.Conv(self.num_classes, (3, 3), padding=[(1, 1), (1, 1)], use_bias=True,
                             kernel_init=head_init,
                             bias_init=nn.initializers.constant(prior_bias),
                             name="classification")
-        ctr_final = nn.Conv(1, (3, 3), padding="SAME", use_bias=True,
+        ctr_final = nn.Conv(1, (3, 3), padding=[(1, 1), (1, 1)], use_bias=True,
                             kernel_init=head_init, name="centerness")
-        reg_final = nn.Conv(4, (3, 3), padding="SAME", use_bias=True,
+        reg_final = nn.Conv(4, (3, 3), padding=[(1, 1), (1, 1)], use_bias=True,
                             kernel_init=head_init, name="regression")
 
         cls_outs, reg_outs, ctr_outs = [], [], []

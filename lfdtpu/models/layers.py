@@ -68,6 +68,18 @@ class Norm(nn.Module):
         raise ValueError(f"unsupported norm type: {t}")
 
 
+def torch_padding(kernel_size):
+    """Explicit symmetric padding k//2, matching torch Conv2d(padding=k//2).
+
+    NOT 'SAME': at stride 2 SAME pads (0, 1) while torch pads (1, 1) with a
+    floor output size — a one-pixel spatial shift that breaks weight-level
+    parity with the reference (verified by tests/test_reference_parity.py).
+    Output sizes are identical (ceil(in/s)) either way.
+    """
+    p = kernel_size // 2
+    return [(p, p), (p, p)]
+
+
 class ConvNormAct(nn.Module):
     """conv (+ norm) (+ act): the universal LFD building brick.
 
@@ -88,7 +100,7 @@ class ConvNormAct(nn.Module):
             self.features,
             kernel_size=(self.kernel_size, self.kernel_size),
             strides=(self.stride, self.stride),
-            padding="SAME",
+            padding=torch_padding(self.kernel_size),
             use_bias=self.norm_cfg is None,
             kernel_init=self.kernel_init,
             bias_init=nn.initializers.zeros,

@@ -67,7 +67,7 @@ class _Lateral(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = nn.Conv(
-            self.features, (1, 1), padding="SAME",
+            self.features, (1, 1), padding=[(0, 0), (0, 0)],
             use_bias=not self.norm_on_lateral,
             kernel_init=self.kernel_init,
         )(x)
@@ -102,10 +102,11 @@ class FPN(nn.Module):
             x = jax.nn.relu(x)
         if self.extra_type == "conv":
             return nn.Conv(
-                self.num_output_channels, (3, 3), strides=(2, 2), padding="SAME",
+                self.num_output_channels, (3, 3), strides=(2, 2),
+                padding=[(1, 1), (1, 1)],
                 use_bias=True, kernel_init=self.lateral_init, name=f"fpn_out{i}",
             )(x)
-        return nn.max_pool(x, (3, 3), strides=(2, 2), padding="SAME")
+        return nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
 
     @nn.compact
     def __call__(self, inputs, train: bool = False):
@@ -126,7 +127,7 @@ class FPN(nn.Module):
             if i < n_in:
                 outs.append(
                     nn.Conv(
-                        self.num_output_channels, (3, 3), padding="SAME",
+                        self.num_output_channels, (3, 3), padding=[(1, 1), (1, 1)],
                         use_bias=True, kernel_init=self.lateral_init, name=f"fpn_out{i}",
                     )(laterals[i])
                 )
@@ -163,10 +164,11 @@ class SimpleFPN(nn.Module):
             x = jax.nn.relu(x)
         if self.extra_type == "conv":
             return nn.Conv(
-                self.num_output_channels, (3, 3), strides=(2, 2), padding="SAME",
+                self.num_output_channels, (3, 3), strides=(2, 2),
+                padding=[(1, 1), (1, 1)],
                 use_bias=True, kernel_init=kaiming_out, name=f"fpn_out{i}",
             )(x)
-        return nn.max_pool(x, (3, 3), strides=(2, 2), padding="SAME")
+        return nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
 
     @nn.compact
     def __call__(self, inputs, train: bool = False):

@@ -122,7 +122,7 @@ class ResNet(nn.Module):
             x = ConvNormAct(self.base_channels, 3, 1, ncfg, _RELU, name="stem2")(x, stem_train)
         else:
             x = ConvNormAct(self.base_channels, 7, 2, ncfg, _RELU, name="stem0")(x, stem_train)
-        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="SAME")
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
         if self.frozen_stages >= 0:
             x = jax.lax.stop_gradient(x)
 

@@ -1,0 +1,197 @@
+# Numerical parity against the reference torch implementation: copy one set
+# of weights into both the flax model and the reference torch modules and
+# compare dense outputs. Skipped when the reference checkout is absent.
+#
+# This is the "same weights => same boxes" oracle SURVEY.md §4 calls for:
+# if the conv stacks agree to float tolerance, decode parity (tested in
+# test_decode_parity.py) carries it through to final detections.
+import importlib.util
+import os
+import sys
+
+import numpy as np
+import pytest
+
+REF = "/root/reference"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REF), reason="reference checkout not available"
+)
+
+
+def _load_ref(name, rel):
+    spec = importlib.util.spec_from_file_location(name, os.path.join(REF, rel))
+    m = importlib.util.module_from_spec(spec)
+    sys.modules[name] = m
+    spec.loader.exec_module(m)
+    return m
+
+
+def _build_flax_s():
+    from lfdtpu import zoo
+
+    det = zoo.widerface_lfd("S")
+    import jax
+
+    variables = det.init(jax.random.PRNGKey(0), (128, 128))
+    return det, variables
+
+
+def _build_torch_s():
+    torch = pytest.importorskip("torch")
+    lr = _load_ref("ref_lfd_resnet_p", "lfd/model/backbone/lfd_resnet.py")
+    snk = _load_ref("ref_simple_neck_p", "lfd/model/neck/simple_neck.py")
+    lh = _load_ref("ref_lfd_head_p", "lfd/model/head/lfd_head.py")
+    bb = lr.LFDResNet(
+        block_mode="faster", stem_mode="faster", body_mode=None,
+        input_channels=3, stem_channels=64,
+        body_architecture=[4, 2, 2, 3], body_channels=[64, 64, 64, 128],
+        out_indices=((0, 3), (1, 1), (2, 1), (3, 0), (3, 2)),
+        norm_cfg=dict(type="BatchNorm2d"),
+    )
+    neck = snk.SimpleNeck(
+        num_neck_channels=128,
+        num_input_channels_list=bb.num_output_channels_list,
+        num_input_strides_list=bb.num_output_strides_list,
+        norm_cfg=dict(type="BatchNorm2d"),
+    )
+    head = lh.LFDHead(
+        num_classes=1, num_heads=5, num_input_channels=128,
+        num_head_channels=128, num_conv_layers=2,
+        norm_cfg=dict(type="GroupNorm", num_groups=16),
+        share_head_flag=True, merge_path_flag=True,
+        classification_loss_type="FocalLoss", regression_loss_type="IoULoss",
+    )
+    return bb, neck, head
+
+
+def _flax_convs_in_order(params, batch_stats):
+    """(kernel, bias?, norm_scale?, norm_bias?) per conv, in forward order,
+    using the known module naming of this repo's backbone/neck/head."""
+    entries = []
+
+    def conv_norm(tree, stats):
+        conv = tree["Conv_0"]
+        norm = None
+        if "Norm_0" in tree:
+            sub = tree["Norm_0"]
+            key = "BatchNorm_0" if "BatchNorm_0" in sub else "GroupNorm_0"
+            norm = dict(sub[key])
+            if stats is not None and "Norm_0" in stats:
+                norm.update(stats["Norm_0"][key])
+        return conv, norm
+
+    bb = params["backbone"]
+    bbs = batch_stats.get("backbone", {})
+    for k in ["stem0", "stem1", "stem2", "stem3"]:
+        entries.append(("bb." + k,) + conv_norm(bb[k], bbs.get(k)))
+    for i, nblocks in enumerate([4, 2, 2, 3]):
+        for j in range(nblocks):
+            name = f"stage{i}_block{j}"
+            blk = bb[name]
+            blks = bbs.get(name, {})
+            for c in ["ConvNormAct_0", "ConvNormAct_1"]:
+                entries.append((f"bb.{name}.{c}",) + conv_norm(blk[c], blks.get(c)))
+            if j == 0:
+                sc = blk["_Shortcut_0"]
+                scs = blks.get("_Shortcut_0", {})
+                entries.append(
+                    (f"bb.{name}.shortcut",) + conv_norm(sc, scs)
+                )
+    nk = params["neck"]
+    nks = batch_stats.get("neck", {})
+    for i in range(5):
+        entries.append((f"neck{i}",) + conv_norm(nk[f"neck{i}"], nks.get(f"neck{i}")))
+    hd = params["head"]
+    for c in ["conv0", "conv1"]:
+        sub = hd["shared_merge"][c]
+        norm = dict(sub["Norm_0"]["GroupNorm_0"])
+        entries.append((f"head.merge.{c}", sub["Conv_0"], norm))
+    entries.append(("head.cls_final", hd["shared_cls"]["final"], None))
+    entries.append(("head.reg_final", hd["shared_reg"]["final"], None))
+    return entries
+
+
+def _torch_convs_in_order(bb, neck, head):
+    import torch.nn as nn
+
+    mods = []
+    # stem: Sequential [conv, bn, relu] * 4
+    seq = list(bb._stem)
+    for i in range(0, len(seq), 3):
+        mods.append((seq[i], seq[i + 1]))
+    for i, nblocks in enumerate([4, 2, 2, 3]):
+        stage = getattr(bb, f"stage{i}")
+        for j in range(nblocks):
+            blk = stage[j]
+            mods.append((blk._conv1, blk._norm1))
+            mods.append((blk._conv2, blk._norm2))
+            if blk._downsample is not None:
+                mods.append((blk._downsample[0], blk._downsample[1]))
+    for i in range(5):
+        seq = list(getattr(neck, f"neck{i}"))
+        mods.append((seq[0], seq[1]))
+    merge = list(head.head0_merge_path)
+    # [conv, gn, relu, conv, gn, relu]
+    mods.append((merge[0], merge[1]))
+    mods.append((merge[3], merge[4]))
+    mods.append((list(head.head0_classification_path)[0], None))
+    mods.append((list(head.head0_regression_path)[0], None))
+    return mods
+
+
+def test_same_weights_same_outputs():
+    torch = pytest.importorskip("torch")
+    import jax.numpy as jnp
+
+    det, variables = _build_flax_s()
+    bb, neck, head = _build_torch_s()
+    flax_entries = _flax_convs_in_order(
+        variables["params"], variables.get("batch_stats", {})
+    )
+    torch_mods = _torch_convs_in_order(bb, neck, head)
+    assert len(flax_entries) == len(torch_mods), (
+        len(flax_entries), len(torch_mods)
+    )
+
+    with torch.no_grad():
+        for (name, conv, norm), (tconv, tnorm) in zip(flax_entries, torch_mods):
+            k = np.asarray(conv["kernel"])  # HWIO
+            w = torch.from_numpy(np.transpose(k, (3, 2, 0, 1)).copy())
+            assert tuple(w.shape) == tuple(tconv.weight.shape), (name, w.shape, tconv.weight.shape)
+            tconv.weight.copy_(w)
+            if "bias" in conv and tconv.bias is not None:
+                tconv.bias.copy_(torch.from_numpy(np.asarray(conv["bias"]).copy()))
+            if norm is not None and tnorm is not None:
+                tnorm.weight.copy_(torch.from_numpy(np.asarray(norm["scale"]).copy()))
+                tnorm.bias.copy_(torch.from_numpy(np.asarray(norm["bias"]).copy()))
+                if hasattr(tnorm, "running_mean") and "mean" in norm:
+                    tnorm.running_mean.copy_(torch.from_numpy(np.asarray(norm["mean"]).copy()))
+                    tnorm.running_var.copy_(torch.from_numpy(np.asarray(norm["var"]).copy()))
+        # per-level reg Scale params
+        for i in range(5):
+            s = np.asarray(variables["params"]["head"][f"scale{i}"]["scale"])
+            head._scales[i]._scale.copy_(torch.tensor(float(s)))
+
+    rng = np.random.RandomState(0)
+    x = rng.rand(1, 128, 128, 3).astype(np.float32)
+
+    # flax forward (eval)
+    cls_f, reg_f = det.net.apply(variables, jnp.asarray(x), train=False)
+
+    # torch forward (eval) with the same reformat as lfd.py:524-542
+    bb.eval(); neck.eval(); head.eval()
+    with torch.no_grad():
+        tx = torch.from_numpy(np.transpose(x, (0, 3, 1, 2)).copy())
+        feats = bb(tx)
+        feats = neck(feats)
+        cls_outs, reg_outs = head(feats)
+        cls_t = torch.cat(
+            [o.permute(0, 2, 3, 1).reshape(1, -1, o.shape[1]) for o in cls_outs], dim=1
+        ).numpy()
+        reg_t = torch.cat(
+            [o.permute(0, 2, 3, 1).reshape(1, -1, o.shape[1]) for o in reg_outs], dim=1
+        ).numpy()
+
+    np.testing.assert_allclose(np.asarray(cls_f), cls_t, rtol=1e-3, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(reg_f), reg_t, rtol=1e-3, atol=2e-4)
