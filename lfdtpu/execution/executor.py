@@ -160,20 +160,19 @@ class Executor:
         cfg = self.config_dict
         cfg["mode"] = "train"
         self.call_hooks("before_train_epoch")
-        for inner, batch in enumerate(cfg["train_data_loader"]):
+        from ..parallel.mesh import prefetch_to_device
+
+        batches = prefetch_to_device(
+            cfg["train_data_loader"], self.mesh,
+            size=int(cfg.get("device_prefetch", 2)),
+        )
+        for inner, batch in enumerate(batches):
             cfg["inner_train_iter"] = inner
             self.call_hooks("before_train_iter")
-            from ..parallel.mesh import shard_batch
-
-            images, gt, labels, mask = shard_batch(
-                self.mesh,
-                batch["images"],
-                batch["gt_bboxes"],
-                batch["gt_labels"],
-                batch["gt_mask"],
-            )
             self.state, metrics = self._train_step(
-                self.state, images, gt, labels, mask,
+                self.state,
+                batch["images"], batch["gt_bboxes"],
+                batch["gt_labels"], batch["gt_mask"],
                 np.float32(cfg["current_lr"]),
                 np.bool_(cfg.get("clip_enabled", False)),
             )

@@ -1,4 +1,4 @@
-from .mesh import make_mesh, batch_sharding, replicated_sharding, shard_batch
+from .mesh import make_mesh, batch_sharding, replicated_sharding, shard_batch, prefetch_to_device
 from .data_parallel import TrainState, make_train_step, make_eval_step, create_train_state
 from .distributed import (
     initialize_distributed,
@@ -12,6 +12,7 @@ __all__ = [
     "batch_sharding",
     "replicated_sharding",
     "shard_batch",
+    "prefetch_to_device",
     "TrainState",
     "make_train_step",
     "make_eval_step",

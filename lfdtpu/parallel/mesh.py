@@ -55,6 +55,38 @@ def shard_batch(mesh, *arrays):
     return out if len(out) > 1 else out[0]
 
 
+def prefetch_to_device(batch_iterator, mesh, size=2,
+                       keys=("images", "gt_bboxes", "gt_labels", "gt_mask")):
+    """Wrap a host batch iterator: device_put the next `size` batches ahead
+    so H2D transfer overlaps the current step's compute (jax transfers are
+    async). Yields the original batch dicts with `keys` replaced by
+    device-resident (sharded) arrays."""
+    import collections
+
+    buf = collections.deque()
+
+    def put(batch):
+        arrays = shard_batch(mesh, *[batch[k] for k in keys])
+        if len(keys) == 1:
+            arrays = (arrays,)
+        out = dict(batch)
+        out.update(zip(keys, arrays))
+        return out
+
+    it = iter(batch_iterator)
+    try:
+        for _ in range(size):
+            buf.append(put(next(it)))
+    except StopIteration:
+        pass
+    while buf:
+        yield buf.popleft()
+        try:
+            buf.append(put(next(it)))
+        except StopIteration:
+            pass
+
+
 def spatial_image_sharding(mesh):
     """Shard NHWC images over (data, spatial-H): for 4K batch>1 inference
     that exceeds one chip's HBM (SURVEY.md §5 long-context analogue)."""
