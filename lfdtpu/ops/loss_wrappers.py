@@ -28,11 +28,12 @@ class FocalLoss(_Base):
     gamma: float = 2.0
     alpha: float = 0.25
 
-    def __call__(self, pred, target, weight=None, avg_factor=None):
+    def __call__(self, pred, target, weight=None, avg_factor=None,
+                 reduction_override=None):
         assert self.use_sigmoid
         return self._finish(
             L.sigmoid_focal_loss(
-                pred, target, weight, self.gamma, self.alpha, self.reduction, avg_factor
+                pred, target, weight, self.gamma, self.alpha, reduction_override or self.reduction, avg_factor
             )
         )
 
@@ -42,33 +43,37 @@ class QualityFocalLoss(_Base):
     use_sigmoid: bool = True
     beta: float = 2.0
 
-    def __call__(self, pred, target, weight=None, avg_factor=None):
+    def __call__(self, pred, target, weight=None, avg_factor=None,
+                 reduction_override=None):
         return self._finish(
-            L.quality_focal_loss(pred, target, weight, self.beta, self.reduction, avg_factor)
+            L.quality_focal_loss(pred, target, weight, self.beta, reduction_override or self.reduction, avg_factor)
         )
 
 
 @dataclasses.dataclass(frozen=True)
 class DistributionFocalLoss(_Base):
-    def __call__(self, pred, target, weight=None, avg_factor=None):
+    def __call__(self, pred, target, weight=None, avg_factor=None,
+                 reduction_override=None):
         return self._finish(
-            L.distribution_focal_loss(pred, target, weight, self.reduction, avg_factor)
+            L.distribution_focal_loss(pred, target, weight, reduction_override or self.reduction, avg_factor)
         )
 
 
 @dataclasses.dataclass(frozen=True)
 class CrossEntropyLoss(_Base):
-    def __call__(self, pred, target, weight=None, avg_factor=None):
+    def __call__(self, pred, target, weight=None, avg_factor=None,
+                 reduction_override=None):
         return self._finish(
-            L.cross_entropy_loss(pred, target, weight, self.reduction, avg_factor)
+            L.cross_entropy_loss(pred, target, weight, reduction_override or self.reduction, avg_factor)
         )
 
 
 @dataclasses.dataclass(frozen=True)
 class BCEWithLogitsLoss(_Base):
-    def __call__(self, pred, target, weight=None, avg_factor=None):
+    def __call__(self, pred, target, weight=None, avg_factor=None,
+                 reduction_override=None):
         return self._finish(
-            L.binary_cross_entropy_loss(pred, target, weight, self.reduction, avg_factor)
+            L.binary_cross_entropy_loss(pred, target, weight, reduction_override or self.reduction, avg_factor)
         )
 
 
@@ -76,31 +81,35 @@ class BCEWithLogitsLoss(_Base):
 class SmoothL1Loss(_Base):
     beta: float = 1.0
 
-    def __call__(self, pred, target, weight=None, avg_factor=None):
+    def __call__(self, pred, target, weight=None, avg_factor=None,
+                 reduction_override=None):
         return self._finish(
-            L.smooth_l1_loss(pred, target, weight, self.beta, self.reduction, avg_factor)
+            L.smooth_l1_loss(pred, target, weight, self.beta, reduction_override or self.reduction, avg_factor)
         )
 
 
 @dataclasses.dataclass(frozen=True)
 class L1Loss(_Base):
-    def __call__(self, pred, target, weight=None, avg_factor=None):
-        return self._finish(L.l1_loss(pred, target, weight, self.reduction, avg_factor))
+    def __call__(self, pred, target, weight=None, avg_factor=None,
+                 reduction_override=None):
+        return self._finish(L.l1_loss(pred, target, weight, reduction_override or self.reduction, avg_factor))
 
 
 @dataclasses.dataclass(frozen=True)
 class MSELoss(_Base):
-    def __call__(self, pred, target, weight=None, avg_factor=None):
-        return self._finish(L.mse_loss(pred, target, weight, self.reduction, avg_factor))
+    def __call__(self, pred, target, weight=None, avg_factor=None,
+                 reduction_override=None):
+        return self._finish(L.mse_loss(pred, target, weight, reduction_override or self.reduction, avg_factor))
 
 
 @dataclasses.dataclass(frozen=True)
 class IoULoss(_Base):
     eps: float = 1e-6
 
-    def __call__(self, pred, target, weight=None, avg_factor=None):
+    def __call__(self, pred, target, weight=None, avg_factor=None,
+                 reduction_override=None):
         return self._finish(
-            L.iou_loss(pred, target, weight, self.eps, self.reduction, avg_factor)
+            L.iou_loss(pred, target, weight, self.eps, reduction_override or self.reduction, avg_factor)
         )
 
 
@@ -108,9 +117,10 @@ class IoULoss(_Base):
 class GIoULoss(_Base):
     eps: float = 1e-7
 
-    def __call__(self, pred, target, weight=None, avg_factor=None):
+    def __call__(self, pred, target, weight=None, avg_factor=None,
+                 reduction_override=None):
         return self._finish(
-            L.giou_loss(pred, target, weight, self.eps, self.reduction, avg_factor)
+            L.giou_loss(pred, target, weight, self.eps, reduction_override or self.reduction, avg_factor)
         )
 
 
@@ -118,9 +128,10 @@ class GIoULoss(_Base):
 class DIoULoss(_Base):
     eps: float = 1e-7
 
-    def __call__(self, pred, target, weight=None, avg_factor=None):
+    def __call__(self, pred, target, weight=None, avg_factor=None,
+                 reduction_override=None):
         return self._finish(
-            L.diou_loss(pred, target, weight, self.eps, self.reduction, avg_factor)
+            L.diou_loss(pred, target, weight, self.eps, reduction_override or self.reduction, avg_factor)
         )
 
 
@@ -128,9 +139,10 @@ class DIoULoss(_Base):
 class CIoULoss(_Base):
     eps: float = 1e-7
 
-    def __call__(self, pred, target, weight=None, avg_factor=None):
+    def __call__(self, pred, target, weight=None, avg_factor=None,
+                 reduction_override=None):
         return self._finish(
-            L.ciou_loss(pred, target, weight, self.eps, self.reduction, avg_factor)
+            L.ciou_loss(pred, target, weight, self.eps, reduction_override or self.reduction, avg_factor)
         )
 
 
