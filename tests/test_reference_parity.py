@@ -195,3 +195,111 @@ def test_same_weights_same_outputs():
 
     np.testing.assert_allclose(np.asarray(cls_f), cls_t, rtol=1e-3, atol=2e-4)
     np.testing.assert_allclose(np.asarray(reg_f), reg_t, rtol=1e-3, atol=2e-4)
+
+
+def test_fcos_head_weight_parity():
+    torch = pytest.importorskip("torch")
+    import jax
+    import jax.numpy as jnp
+
+    from lfdtpu.models import FCOSHead
+
+    lh = _load_ref("ref_fcos_head_p", "lfd/model/head/fcos_head.py")
+    thead = lh.FCOSHead(num_classes=3, num_input_channels=32,
+                        num_head_channels=32, num_heads=2, num_layers=2,
+                        norm_cfg=None)
+    fhead = FCOSHead(num_classes=3, num_heads=2, num_head_channels=32,
+                     num_layers=2, norm_cfg=None)
+    rng = np.random.RandomState(0)
+    feats = [rng.rand(1, 16, 16, 32).astype(np.float32),
+             rng.rand(1, 8, 8, 32).astype(np.float32)]
+    v = fhead.init(jax.random.PRNGKey(0), [jnp.asarray(f) for f in feats])
+    p = v["params"]
+
+    def copy_conv(tconv, fconv):
+        k = np.asarray(fconv["kernel"])
+        tconv.weight.copy_(torch.from_numpy(np.transpose(k, (3, 2, 0, 1)).copy()))
+        if tconv.bias is not None and "bias" in fconv:
+            tconv.bias.copy_(torch.from_numpy(np.asarray(fconv["bias"]).copy()))
+
+    with torch.no_grad():
+        # towers: reference ModuleList [conv, relu] * num_layers (no norm)
+        tc = [m for m in thead._classification_path if isinstance(m, torch.nn.Conv2d)]
+        tr = [m for m in thead._regression_path if isinstance(m, torch.nn.Conv2d)]
+        for i in range(2):
+            copy_conv(tc[i], p["cls_tower"][f"conv{i}"]["Conv_0"])
+            copy_conv(tr[i], p["reg_tower"][f"conv{i}"]["Conv_0"])
+        copy_conv(thead._classification, p["classification"])
+        copy_conv(thead._centerness, p["centerness"])
+        copy_conv(thead._regression, p["regression"])
+        for i in range(2):
+            thead._scales[i]._scale.copy_(
+                torch.tensor(float(np.asarray(p[f"scale{i}"]["scale"])))
+            )
+
+    cls_f, reg_f, ctr_f = fhead.apply(v, [jnp.asarray(f) for f in feats])
+    thead.eval()
+    with torch.no_grad():
+        tfeats = [torch.from_numpy(np.transpose(f, (0, 3, 1, 2)).copy()) for f in feats]
+        cls_t, reg_t, ctr_t = thead(tfeats)
+    for ff, tt in zip(cls_f + reg_f + ctr_f, cls_t + reg_t + ctr_t):
+        np.testing.assert_allclose(
+            np.asarray(ff), np.transpose(tt.numpy(), (0, 2, 3, 1)),
+            rtol=1e-3, atol=1e-4,
+        )
+
+
+def test_resnet18_weight_parity():
+    torch = pytest.importorskip("torch")
+    import jax
+    import jax.numpy as jnp
+
+    from lfdtpu.models import ResNet
+
+    rr = _load_ref("ref_resnet_p", "lfd/model/backbone/resnet.py")
+    trn = rr.ResNet(depth=18)
+    frn = ResNet(depth=18, norm_cfg=dict(type="BN"))
+    x = np.random.RandomState(0).rand(1, 64, 64, 3).astype(np.float32)
+    v = frn.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    p, bs = v["params"], v.get("batch_stats", {})
+
+    def entry(tree, stats):
+        conv = tree["Conv_0"]
+        norm = dict(tree["Norm_0"]["BatchNorm_0"])
+        if stats is not None and "Norm_0" in stats:
+            norm.update(stats["Norm_0"]["BatchNorm_0"])
+        return conv, norm
+
+    pairs = []
+    pairs.append((entry(p["stem0"], bs.get("stem0")), (trn.conv1, trn.bn1)))
+    blocks = [2, 2, 2, 2]
+    for si in range(1, 5):
+        layer = getattr(trn, f"layer{si}")
+        for j in range(blocks[si - 1]):
+            blk = p[f"stage{si}_block{j}"]
+            blks = bs.get(f"stage{si}_block{j}", {})
+            tb = layer[j]
+            pairs.append((entry(blk["ConvNormAct_0"], blks.get("ConvNormAct_0")), (tb.conv1, tb.bn1)))
+            pairs.append((entry(blk["ConvNormAct_1"], blks.get("ConvNormAct_1")), (tb.conv2, tb.bn2)))
+            if tb.downsample is not None:
+                pairs.append((entry(blk["ConvNormAct_2"], blks.get("ConvNormAct_2")),
+                              (tb.downsample[0], tb.downsample[1])))
+
+    with torch.no_grad():
+        for (conv, norm), (tconv, tnorm) in pairs:
+            k = np.asarray(conv["kernel"])
+            tconv.weight.copy_(torch.from_numpy(np.transpose(k, (3, 2, 0, 1)).copy()))
+            tnorm.weight.copy_(torch.from_numpy(np.asarray(norm["scale"]).copy()))
+            tnorm.bias.copy_(torch.from_numpy(np.asarray(norm["bias"]).copy()))
+            tnorm.running_mean.copy_(torch.from_numpy(np.asarray(norm["mean"]).copy()))
+            tnorm.running_var.copy_(torch.from_numpy(np.asarray(norm["var"]).copy()))
+
+    feats_f = frn.apply(v, jnp.asarray(x))
+    trn.eval()
+    with torch.no_grad():
+        feats_t = trn(torch.from_numpy(np.transpose(x, (0, 3, 1, 2)).copy()))
+    for ff, tt in zip(feats_f, feats_t):
+        np.testing.assert_allclose(
+            np.asarray(ff), np.transpose(tt.numpy(), (0, 2, 3, 1)),
+            rtol=1e-3, atol=1e-4,
+        )
