@@ -28,7 +28,7 @@ from .augmentation import (
     typical_coco_train_pipeline,
     typical_coco_val_pipeline,
 )
-from .loader import DataLoader, pad_annotations
+from .loader import DataLoader, ShmDataLoader, pad_annotations
 from .pack import (
     pack_widerface,
     pack_coco,
@@ -50,7 +50,7 @@ __all__ = [
     "caffe_imagenet_normalize", "standard_normalize", "simple_normalize",
     "simple_widerface_train_pipeline", "simple_widerface_val_pipeline",
     "typical_coco_train_pipeline", "typical_coco_val_pipeline",
-    "DataLoader", "pad_annotations",
+    "DataLoader", "ShmDataLoader", "pad_annotations",
     "pack_widerface", "pack_coco", "pack_tt100k",
     "pack_mini_for_debug", "check_by_show",
 ]

@@ -55,9 +55,13 @@ class DataLoader:
         max_boxes_per_image=100,
         pad_divisor=None,
         image_dtype=np.float32,
+        use_processes=False,
     ):
         # image_dtype=np.uint8 + a device_preprocess in the executor ships
-        # raw bytes (4x less host->device traffic than normalized f32)
+        # raw bytes (4x less host->device traffic than normalized f32).
+        # use_processes forks worker PROCESSES instead of threads: sidesteps
+        # the GIL and in-process contention with the device host loop (the
+        # dataset is inherited copy-on-write via fork).
         self._dataset = dataset
         self._dataset_sampler = dataset_sampler
         self._loops = len(dataset_sampler)
@@ -68,14 +72,28 @@ class DataLoader:
         self._max_boxes = max_boxes_per_image
         self._pad_divisor = pad_divisor
         self._image_dtype = image_dtype
+        self._use_processes = use_processes
 
-        self._index_queue = queue.Queue()
-        self._batch_queue = queue.Queue(maxsize=max(num_workers, 1))
+        if use_processes:
+            import multiprocessing as mp
+
+            ctx = mp.get_context("fork")
+            self._index_queue = ctx.Queue()
+            self._batch_queue = ctx.Queue(maxsize=max(num_workers, 1))
+            self._ctx = ctx
+        else:
+            self._index_queue = queue.Queue()
+            self._batch_queue = queue.Queue(maxsize=max(num_workers, 1))
         self._started = False
 
     def _start_workers(self):
-        for _ in range(self._num_workers):
-            threading.Thread(target=self._worker_func, daemon=True).start()
+        if self._use_processes:
+            for _ in range(self._num_workers):
+                p = self._ctx.Process(target=self._worker_func, daemon=True)
+                p.start()
+        else:
+            for _ in range(self._num_workers):
+                threading.Thread(target=self._worker_func, daemon=True).start()
         self._started = True
 
     @staticmethod
@@ -172,3 +190,107 @@ class DataLoader:
     @property
     def batch_size(self):
         return self._batch_size
+
+
+class ShmDataLoader(DataLoader):
+    """Process-worker loader with shared-memory batch transport.
+
+    Purpose-built for TRAINING on fixed-size crops: python-thread loaders
+    contend with the device host loop for the GIL/cores (measured +370 ms
+    per step on TPU), and mp.Queue pickles ~44 MB per batch. Here workers
+    are forked processes writing batches into preallocated shared-memory
+    slots; the parent hands out zero-copy views and recycles slots.
+
+    Requires static crop_size (every reference training config has one) and
+    emits the same batch dict as DataLoader minus per-sample 'annotations' /
+    'meta' (not used by the train step).
+    """
+
+    def __init__(self, dataset, dataset_sampler, region_sampler,
+                 augmentation_pipeline=None, num_workers=4,
+                 max_boxes_per_image=100, crop_size=None,
+                 image_dtype=np.uint8, num_slots=None):
+        assert crop_size is not None, "ShmDataLoader needs the static crop_size"
+        super().__init__(
+            dataset, dataset_sampler, region_sampler,
+            augmentation_pipeline=augmentation_pipeline,
+            num_workers=num_workers, max_boxes_per_image=max_boxes_per_image,
+            image_dtype=image_dtype, use_processes=True,
+        )
+        from multiprocessing import shared_memory
+
+        self._crop = int(crop_size)
+        B, S, N = self._batch_size, self._crop, self._max_boxes
+        self._num_slots = num_slots or (num_workers + 2)
+        itemsize = np.dtype(image_dtype).itemsize
+        self._img_bytes = B * S * S * 3 * itemsize
+        self._gt_bytes = B * N * 4 * 4
+        self._lb_bytes = B * N * 4
+        self._mk_bytes = B * N
+        slot_bytes = self._img_bytes + self._gt_bytes + self._lb_bytes + self._mk_bytes
+        self._shm = shared_memory.SharedMemory(create=True, size=slot_bytes * self._num_slots)
+        self._slot_bytes = slot_bytes
+        self._free_slots = self._ctx.Queue()
+        for i in range(self._num_slots):
+            self._free_slots.put(i)
+
+    def _slot_views(self, slot):
+        B, S, N = self._batch_size, self._crop, self._max_boxes
+        base = slot * self._slot_bytes
+        buf = self._shm.buf
+        o = base
+        img = np.ndarray((B, S, S, 3), self._image_dtype, buf, o)
+        o += self._img_bytes
+        gt = np.ndarray((B, N, 4), np.float32, buf, o)
+        o += self._gt_bytes
+        lb = np.ndarray((B, N), np.int32, buf, o)
+        o += self._lb_bytes
+        mk = np.ndarray((B, N), bool, buf, o)
+        return img, gt, lb, mk
+
+    def _worker_func(self):
+        while True:
+            index_batch = self._index_queue.get()
+            slot = self._free_slots.get()
+            img, gt, lb, mk = self._slot_views(slot)
+            gt[:] = 0
+            lb[:] = 0
+            mk[:] = False
+            for bi, sample_index in enumerate(index_batch):
+                s = self._process_one(sample_index)
+                im = s["image"]
+                img[bi, : im.shape[0], : im.shape[1]] = im
+                if im.shape[0] < img.shape[1]:
+                    img[bi, im.shape[0]:] = 0
+                if im.shape[1] < img.shape[2]:
+                    img[bi, :, im.shape[1]:] = 0
+                boxes = s.get("bboxes", [])
+                n = min(len(boxes), self._max_boxes)
+                if n:
+                    gt[bi, :n] = np.asarray(boxes[:n], np.float32)
+                    lb[bi, :n] = np.asarray(s["bbox_labels"][:n], np.int32)
+                    mk[bi, :n] = True
+            self._batch_queue.put(slot)
+
+    def __iter__(self):
+        if not self._started:
+            self._start_workers()
+        for index_batch in self._dataset_sampler:
+            self._index_queue.put(index_batch)
+        for _ in range(self._loops):
+            slot = self._batch_queue.get()
+            img, gt, lb, mk = self._slot_views(slot)
+            yield dict(images=img, gt_bboxes=gt, gt_labels=lb, gt_mask=mk,
+                       _slot=slot, _loader=self)
+
+    def release_slot(self, batch):
+        """Return a batch's slot after its arrays were consumed (copied to
+        device). prefetch_to_device with release=True calls this."""
+        self._free_slots.put(batch["_slot"])
+
+    def close(self):
+        try:
+            self._shm.close()
+            self._shm.unlink()
+        except Exception:
+            pass

@@ -71,6 +71,11 @@ def prefetch_to_device(batch_iterator, mesh, size=2,
             arrays = (arrays,)
         out = dict(batch)
         out.update(zip(keys, arrays))
+        # shared-memory loaders recycle their slot once device_put has
+        # copied the host buffers (ShmDataLoader)
+        loader = batch.get("_loader") if isinstance(batch, dict) else None
+        if loader is not None:
+            loader.release_slot(batch)
         return out
 
     it = iter(batch_iterator)

@@ -198,3 +198,42 @@ def test_loader_end_to_end():
         assert len(batch["annotations"]) == 4
         n += 1
     assert n == len(loader)
+
+
+def test_loader_process_workers():
+    ds = Dataset(parser=_ListParser(_make_samples(8)), save_path="/tmp/_t5.pkl", verbose=False)
+    sampler = RandomDatasetSampler(ds, batch_size=4, seed=0)
+    region = RandomBBoxCropRegionSampler(crop_size=32, resize_prob=0.0)
+    loader = DataLoader(ds, sampler, region, num_workers=2,
+                        max_boxes_per_image=8, use_processes=True,
+                        image_dtype=np.uint8)
+    n = 0
+    for batch in loader:
+        assert batch["images"].shape == (4, 32, 32, 3)
+        assert batch["images"].dtype == np.uint8
+        n += 1
+    assert n == len(loader)
+
+
+def test_shm_loader_batches_and_recycling():
+    from lfdtpu.data import ShmDataLoader
+
+    ds = Dataset(parser=_ListParser(_make_samples(8)), save_path="/tmp/_t6.pkl", verbose=False)
+    sampler = RandomDatasetSampler(ds, batch_size=4, seed=0)
+    region = RandomBBoxCropRegionSampler(crop_size=32, resize_prob=0.0)
+    loader = ShmDataLoader(ds, sampler, region, num_workers=2,
+                           max_boxes_per_image=8, crop_size=32)
+    try:
+        seen = 0
+        for epoch in range(3):  # > num_slots batches total: slots recycle
+            for batch in loader:
+                assert batch["images"].shape == (4, 32, 32, 3)
+                assert batch["gt_bboxes"].shape == (4, 8, 4)
+                assert batch["gt_mask"].dtype == bool
+                # consume then recycle like prefetch_to_device does
+                _ = batch["images"].copy()
+                loader.release_slot(batch)
+                seen += 1
+        assert seen == 3 * len(loader)
+    finally:
+        loader.close()
