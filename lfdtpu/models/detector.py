@@ -188,8 +188,19 @@ class LFD:
         IMPORTANT: these must be passed INTO jitted functions as arguments —
         closing over them embeds them as per-call-uploaded constants, which
         on the remote-TPU path costs tens of ms per invocation.
+
+        When called under an active jax trace (e.g. get_loss(level_arrays=
+        None) inside a user's jit), fresh constants are returned WITHOUT
+        caching — caching tracers would poison later eager calls.
         """
-        return self._level_arrays_cached((int(input_hw[0]), int(input_hw[1])))
+        key = (int(input_hw[0]), int(input_hw[1]))
+        try:
+            tracing = not jax.core.trace_state_clean()
+        except AttributeError:  # jax version without trace_state_clean
+            tracing = isinstance(jnp.zeros(()), jax.core.Tracer)
+        if tracing:
+            return {k: jnp.asarray(v) for k, v in self._level_info_np(key).items()}
+        return self._level_arrays_cached(key)
 
     def num_points(self, input_hw):
         return self.level_info(input_hw)["points"].shape[0]

@@ -86,8 +86,17 @@ class FCOS:
 
     def level_arrays(self, input_hw):
         """Device-resident per-point constants; pass as jit args (see
-        LFD.level_arrays on why closing over them is slow)."""
-        return self._level_arrays_cached((int(input_hw[0]), int(input_hw[1])))
+        LFD.level_arrays on why closing over them is slow). Under an active
+        trace, fresh constants are returned without caching (tracer-poison
+        guard, see LFD.level_arrays)."""
+        key = (int(input_hw[0]), int(input_hw[1]))
+        try:
+            tracing = not jax.core.trace_state_clean()
+        except AttributeError:
+            tracing = isinstance(jnp.zeros(()), jax.core.Tracer)
+        if tracing:
+            return {k: jnp.asarray(v) for k, v in self._level_info_np(key).items()}
+        return self._level_arrays_cached(key)
 
     def num_points(self, input_hw):
         return self.level_info(input_hw)["points"].shape[0]

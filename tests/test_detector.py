@@ -128,3 +128,25 @@ def test_predict_for_single_image(rng):
         assert isinstance(label, int)
         assert 0 <= score <= 1
         assert w >= 0 and h >= 0
+
+
+def test_level_arrays_cache_not_poisoned_by_tracing(rng):
+    # calling get_loss inside a user jit (level_arrays=None) must not cache
+    # tracers that would break later eager predict calls
+    det = tiny_lfd()
+    variables = det.init(jax.random.PRNGKey(0), (64, 64))
+    images, gt, labels, mask = _batch(rng)
+
+    @jax.jit
+    def loss_fn(v):
+        outs, _ = det.forward(v, jnp.asarray(images), train=True)
+        return det.get_loss(outs, jnp.asarray(gt), jnp.asarray(labels),
+                            jnp.asarray(mask), (64, 64))["loss"]
+
+    assert np.isfinite(float(loss_fn(variables)))
+    # now the eager predict path must still work at the same resolution
+    res = det.predict_for_single_image(
+        variables, (rng.rand(64, 64, 3) * 255).astype(np.uint8),
+        classification_threshold=0.01,
+    )
+    assert isinstance(res, list)
