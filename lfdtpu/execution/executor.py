@@ -215,35 +215,9 @@ class Executor:
             images = shard_batch(self.mesh, batch["images"])
             outs = self._eval_step(self.state, images)
             input_hw = (batch["images"].shape[1], batch["images"].shape[2])
-            spec = self.detector.decode_spec()
-            import jax.numpy as jnp
-
-            from ..ops.decode import detections_to_lists
-
-            B = batch["images"].shape[0]
-            valid_hws = np.asarray(
-                [
-                    [
-                        (batch["meta"][i] or {}).get("resized_height", input_hw[0]),
-                        (batch["meta"][i] or {}).get("resized_width", input_hw[1]),
-                    ]
-                    for i in range(B)
-                ],
-                np.float32,
+            cfg["eval_results"] = self.detector.results_from_outputs(
+                outs, input_hw, batch["meta"]
             )
-            run = self.detector._batched_decode_jit(input_hw, spec)
-            decoded = run(
-                outs, jnp.asarray(valid_hws), self.detector.level_arrays(input_hw)
-            )
-            results = []
-            for i in range(B):
-                single = {k: v[i] for k, v in decoded.items()}
-                results.append(
-                    detections_to_lists(
-                        single, (batch["meta"][i] or {}).get("resize_scale", 1.0)
-                    )
-                )
-            cfg["eval_results"] = results
             cfg["eval_meta"] = batch["meta"]
             self.call_hooks("after_val_iter")
         self.call_hooks("after_val_epoch")

@@ -6,7 +6,6 @@
 
 from __future__ import annotations
 
-import functools
 from typing import Optional, Tuple
 
 import jax
@@ -53,6 +52,9 @@ class FCOS:
         self.pre_nms_bbox_limit = pre_nms_bbox_limit
         self.post_nms_bbox_limit = post_nms_bbox_limit
         self._predict_cache = {}
+        # explicit per-instance caches (see LFD.__init__ on why not lru_cache)
+        self._level_info_cache = {}
+        self._level_array_cache = {}
 
     # ----------------------------------------------------------------- net
     def init(self, rng, input_hw=(256, 256), batch_size=1, train=True):
@@ -70,19 +72,23 @@ class FCOS:
     def __call__(self, variables, images, train=False):
         return self.forward(variables, images, train=train)[0]
 
-    @functools.lru_cache(maxsize=64)
     def _level_info_np(self, input_hw):
-        sizes = point_ops.feature_map_sizes_for_input(input_hw, self.point_strides)
-        return point_ops.concat_level_info(
-            sizes, self.point_strides, self.regression_ranges
-        )
+        if input_hw not in self._level_info_cache:
+            sizes = point_ops.feature_map_sizes_for_input(input_hw, self.point_strides)
+            self._level_info_cache[input_hw] = point_ops.concat_level_info(
+                sizes, self.point_strides, self.regression_ranges
+            )
+        return self._level_info_cache[input_hw]
 
     def level_info(self, input_hw):
         return self._level_info_np((int(input_hw[0]), int(input_hw[1])))
 
-    @functools.lru_cache(maxsize=64)
-    def _level_arrays_cached(self, input_hw):
-        return {k: jnp.asarray(v) for k, v in self._level_info_np(input_hw).items()}
+    def level_sizes(self, input_hw):
+        """Static per-level point counts (h*w per level) for an input size."""
+        sizes = point_ops.feature_map_sizes_for_input(
+            (int(input_hw[0]), int(input_hw[1])), self.point_strides
+        )
+        return tuple(h * w for h, w in sizes)
 
     def level_arrays(self, input_hw):
         """Device-resident per-point constants; pass as jit args (see
@@ -96,7 +102,11 @@ class FCOS:
             tracing = isinstance(jnp.zeros(()), jax.core.Tracer)
         if tracing:
             return {k: jnp.asarray(v) for k, v in self._level_info_np(key).items()}
-        return self._level_arrays_cached(key)
+        if key not in self._level_array_cache:
+            self._level_array_cache[key] = {
+                k: jnp.asarray(v) for k, v in self._level_info_np(key).items()
+            }
+        return self._level_array_cache[key]
 
     def num_points(self, input_hw):
         return self.level_info(input_hw)["points"].shape[0]
@@ -176,6 +186,10 @@ class FCOS:
             nms_budget=self.pre_nms_bbox_limit,
             max_det=self.post_nms_bbox_limit if max_det is None else max_det,
             class_agnostic=class_agnostic,
+            # reference FCOS also applies pre_nms_bbox_limit per level, with
+            # cls*centerness as the ranking score (`fcos.py:381-387`) — our
+            # stage-1 probs already carry the centerness factor
+            per_level_limit=int(self.pre_nms_bbox_limit),
         )
 
     def decode_single(self, outputs_single, input_hw, valid_hw, spec,
@@ -190,6 +204,7 @@ class FCOS:
         return decode_predictions(
             cls_o, reg_o, points, ranges, spec, (h, w),
             point_valid=point_valid, score_factors=centerness,
+            level_sizes=self.level_sizes(input_hw) if spec.per_level_limit > 0 else None,
         )
 
     def _batched_decode_jit(self, input_hw, spec, n_outputs=3):

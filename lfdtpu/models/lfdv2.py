@@ -15,6 +15,8 @@
 
 from __future__ import annotations
 
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 
@@ -64,6 +66,17 @@ class LFDv2(LFD):
             nms_threshold=nms_threshold,
             pre_nms_bbox_limit=pre_nms_bbox_limit,
             post_nms_bbox_limit=post_nms_bbox_limit,
+        )
+
+    def decode_spec(self, classification_threshold=None, nms_threshold=None,
+                    class_agnostic=False, max_det=None):
+        """LFDv2 applies pre_nms_bbox_limit PER LEVEL before concat
+        (`lfdv2.py:618-624`), unlike v1's global candidate budget."""
+        spec = super().decode_spec(
+            classification_threshold, nms_threshold, class_agnostic, max_det
+        )
+        return dataclasses.replace(
+            spec, per_level_limit=int(self.pre_nms_bbox_limit)
         )
 
     def _assign_single(self, info, gt_bboxes, gt_labels, gt_mask):

@@ -37,6 +37,11 @@ class DecodeSpec:
     nms_budget: int = 1000  # stage-2 candidate budget fed to NMS
     max_det: int = 100
     class_agnostic: bool = False
+    # LFDv2's `pre_nms_bbox_limit` is applied PER LEVEL before the levels
+    # are concatenated (`lfdv2.py:618-624`), and only when a level has more
+    # points than the limit. >0 switches stage 1 to that semantics; the
+    # caller must then pass `level_sizes` to decode_predictions.
+    per_level_limit: int = 0
 
 
 def _decode_distances(reg, points, ranges, mode):
@@ -55,7 +60,7 @@ def _decode_distances(reg, points, ranges, mode):
     raise ValueError(f"unknown reg mode {mode}")
 
 
-@partial(jax.jit, static_argnames=("spec",))
+@partial(jax.jit, static_argnames=("spec", "level_sizes"))
 def decode_predictions(
     cls_logits,
     reg,
@@ -65,6 +70,7 @@ def decode_predictions(
     image_hw,
     point_valid=None,
     score_factors=None,
+    level_sizes=None,
 ):
     """Decode one image's dense predictions into final detections.
 
@@ -81,6 +87,8 @@ def decode_predictions(
         padding; such points can never produce detections.
       score_factors: optional (P,) multiplier (FCOS centerness,
         `fcos.py:403-410`).
+      level_sizes: static tuple of per-level point counts (sum == P);
+        required when spec.per_level_limit > 0 (LFDv2 per-level top-k).
 
     Returns dict with:
       boxes:  (max_det, 4) xyxy (clamped to image_hw)
@@ -100,10 +108,32 @@ def decode_predictions(
     if point_valid is not None:
         probs = jnp.where(point_valid[:, None], probs, 0.0)
 
-    # stage 1: top points by max-class score
-    kp = min(spec.pre_nms_points, P)
     point_max = jnp.max(probs, axis=-1)
-    top_scores, top_idx = jax.lax.top_k(point_max, kp)  # (Kp,)
+    if spec.per_level_limit > 0:
+        # stage 1 (LFDv2 semantics, `lfdv2.py:618-624`): per level, keep the
+        # top `per_level_limit` points by max-class score — only when the
+        # level exceeds the limit — then concat the levels.
+        assert level_sizes is not None and sum(level_sizes) == P, (
+            "per_level_limit needs static level_sizes summing to P"
+        )
+        lim = spec.per_level_limit
+        idx_parts = []
+        off = 0
+        for n in level_sizes:
+            if n > lim:
+                _, li = jax.lax.top_k(
+                    jax.lax.dynamic_slice_in_dim(point_max, off, n), lim
+                )
+                idx_parts.append(li + off)
+            else:
+                idx_parts.append(jnp.arange(off, off + n, dtype=jnp.int32))
+            off += n
+        top_idx = jnp.concatenate(idx_parts)
+        kp = top_idx.shape[0]
+    else:
+        # stage 1: top points by max-class score over ALL levels
+        kp = min(spec.pre_nms_points, P)
+        _, top_idx = jax.lax.top_k(point_max, kp)  # (Kp,)
 
     sel_probs = probs[top_idx]  # (Kp, C)
     sel_reg = reg[top_idx]

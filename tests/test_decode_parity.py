@@ -92,6 +92,82 @@ def test_decode_matches_reference_mirror(rng):
         np.testing.assert_allclose(got[:, 2:], ref[:, 2:], rtol=1e-4, atol=1e-3)
 
 
+def test_per_level_topk_matches_reference_mirror(rng):
+    """LFDv2's pre-NMS limit is applied PER LEVEL before concat
+    (`lfd/model/lfdv2.py:618-624`); with a tiny limit the per-level and
+    global selections pick different candidate sets, so this test fails if
+    decode silently falls back to the global top-k."""
+    info = concat_level_info([(8, 8), (4, 4), (2, 2)], [8, 16, 32],
+                             [(0, 32), (32, 64), (64, 128)])
+    level_sizes = (64, 16, 4)
+    P = info["points"].shape[0]
+    C = 2
+    LIM = 6  # << level sizes, forces real per-level truncation
+    for trial in range(5):
+        cls_logits = rng.randn(P, C).astype(np.float32) * 2 - 1
+        reg = rng.randn(P, 4).astype(np.float32)
+
+        # numpy mirror: per level, if size > LIM keep top-LIM points by max
+        # class prob; then threshold pairs and class-offset NMS
+        probs = _sigmoid(cls_logits)
+        keep_points = []
+        off = 0
+        for n in level_sizes:
+            lv = np.arange(off, off + n)
+            if n > LIM:
+                top = np.argsort(-probs[lv].max(-1), kind="stable")[:LIM]
+                lv = lv[top]
+            keep_points.append(lv)
+            off += n
+        keep_points = np.concatenate(keep_points)
+        sel = np.zeros(P, bool)
+        sel[keep_points] = True
+        masked_logits = np.where(sel[:, None], cls_logits, -100.0)
+        ref = reference_decode_mirror(
+            masked_logits, reg, info["points"], info["ranges"], 0.3, 0.5,
+            (64, 64), mode="sigmoid",
+        )
+
+        spec = DecodeSpec(num_classes=C, reg_mode="sigmoid", score_thr=0.3,
+                          nms_iou=0.5, nms_budget=P * C, max_det=P * C,
+                          per_level_limit=LIM)
+        out = decode_predictions(
+            jnp.asarray(cls_logits), jnp.asarray(reg),
+            jnp.asarray(info["points"]), jnp.asarray(info["ranges"]),
+            spec, (64.0, 64.0), level_sizes=level_sizes,
+        )
+        count = int(out["count"])
+        got = np.concatenate(
+            [
+                np.asarray(out["labels"][:count])[:, None],
+                np.asarray(out["scores"][:count])[:, None],
+                np.asarray(out["boxes"][:count]),
+            ],
+            axis=1,
+        )
+        assert len(ref) == count, (len(ref), count)
+        if count:
+            ref = ref[np.argsort(-ref[:, 1], kind="stable")]
+            np.testing.assert_allclose(got[:, 1], ref[:, 1], rtol=1e-5)
+            np.testing.assert_array_equal(got[:, 0], ref[:, 0])
+            np.testing.assert_allclose(got[:, 2:], ref[:, 2:], rtol=1e-4, atol=1e-3)
+
+
+def test_lfdv2_decode_spec_sets_per_level_limit():
+    from lfdtpu.models.lfdv2 import LFDv2
+    from lfdtpu.ops.loss_wrappers import FocalLoss, IoULoss
+
+    det = LFDv2(
+        num_classes=1,
+        regression_ranges=((0, 32), (32, 64)),
+        point_strides=(8, 16),
+        classification_loss_func=FocalLoss(),
+        regression_loss_func=IoULoss(),
+        pre_nms_bbox_limit=123,
+    )
+    assert det.decode_spec().per_level_limit == 123
+
+
 def test_decode_masks_padded_points(rng):
     info = concat_level_info([(8, 8)], [8], [(0, 64)])
     P = info["points"].shape[0]
