@@ -6,6 +6,7 @@ from .dataset_samplers import (
     RandomDatasetSampler,
     COCORandomDatasetSampler,
     RandomWithNegDatasetSampler,
+    ShardedDatasetSampler,
 )
 from .region_samplers import (
     BaseRegionSampler,

@@ -17,6 +17,7 @@ __all__ = [
     "RandomDatasetSampler",
     "COCORandomDatasetSampler",
     "RandomWithNegDatasetSampler",
+    "ShardedDatasetSampler",
 ]
 
 
@@ -108,6 +109,43 @@ class COCORandomDatasetSampler(BaseDatasetSampler):
 
     def get_batch_size(self):
         return self._batch_size
+
+
+class ShardedDatasetSampler(BaseDatasetSampler):
+    """Per-host view of a global sampler for multi-host (DCN) training.
+
+    Every host constructs the SAME underlying sampler with the SAME seed
+    and wraps it; host i then yields rows [i*per, (i+1)*per) of every
+    global batch — exactly the rows `parallel.distributed.local_batch_slice`
+    assigns — so `global_batch_from_local` reassembles the identical
+    global batch the single-host run would see. Pass the wrapped sampler
+    to DataLoader; process_index/count default to jax.process_*()."""
+
+    def __init__(self, sampler, process_index=None, process_count=None):
+        if process_index is None or process_count is None:
+            import jax
+
+            process_index = jax.process_index() if process_index is None else process_index
+            process_count = jax.process_count() if process_count is None else process_count
+        global_bs = sampler.get_batch_size()
+        assert global_bs % process_count == 0, (
+            f"global batch {global_bs} not divisible by {process_count} hosts"
+        )
+        assert 0 <= process_index < process_count
+        self._sampler = sampler
+        self._index = process_index
+        self._per = global_bs // process_count
+
+    def __iter__(self):
+        lo = self._index * self._per
+        for batch in self._sampler:
+            yield batch[lo : lo + self._per]
+
+    def __len__(self):
+        return len(self._sampler)
+
+    def get_batch_size(self):
+        return self._per
 
 
 class RandomWithNegDatasetSampler(BaseDatasetSampler):

@@ -42,15 +42,23 @@ def process_info():
     )
 
 
-def local_batch_slice(global_batch_size):
+def local_batch_slice(global_batch_size, process_index=None, process_count=None):
     """The [start, stop) rows of the global batch this host must feed.
 
-    Hosts load disjoint shards (the data loader should be constructed with
-    a per-host sampler seed/offset); global arrays are assembled with
-    jax.make_array_from_process_local_data.
+    Hosts load disjoint shards — wrap the (seed-shared) dataset sampler in
+    `data.ShardedDatasetSampler`, which yields exactly these rows — and
+    global arrays are assembled with jax.make_array_from_process_local_data
+    (see `global_batch_from_local`).
     """
-    per = global_batch_size // jax.process_count()
-    start = jax.process_index() * per
+    if process_count is None:
+        process_count = jax.process_count()
+    if process_index is None:
+        process_index = jax.process_index()
+    assert global_batch_size % process_count == 0, (
+        f"global batch {global_batch_size} not divisible by {process_count} hosts"
+    )
+    per = global_batch_size // process_count
+    start = process_index * per
     return start, start + per
 
 

@@ -46,3 +46,110 @@ def test_widerface_workload_script_runs(tmp_path):
         shutil.rmtree(d, ignore_errors=True)
     assert result.returncode == 0, result.stderr[-3000:]
     assert "Training finishes." in result.stderr + result.stdout
+
+
+def test_all_workload_scripts_compile():
+    """Every reference entry-point script has a counterpart here and at
+    least parses (the reference set per SURVEY §2.11 / VERDICT r1)."""
+    import py_compile
+
+    root = os.path.join(os.path.dirname(__file__), "..", "workloads")
+    expected = {
+        "WIDERFACE_train": [
+            "WIDERFACE_LFD_XS.py", "WIDERFACE_LFD_S.py", "WIDERFACE_LFD_M.py",
+            "WIDERFACE_LFD_L.py", "pack_widerface.py", "generate_neg_images.py",
+            "predict.py", "predict_engine.py", "evaluation.py",
+            "timing_inference_latency.py",
+        ],
+        "TT100K_train": [
+            "TT100K_LFD_S.py", "TT100K_LFD_L.py", "pack_tt100k.py",
+            "generate_neg_images.py", "predict.py", "predict_engine.py",
+            "evaluation.py", "timing_inference_latency.py",
+            "TT100K_augmentation_pipeline.py",
+        ],
+        "TrafficLight_train": [
+            "TL_LFD_S.py", "TL_LFD_L.py", "pack_TL.py", "EDA.py",
+            "predict.py", "predict_engine.py", "evaluation.py",
+            "timing_inference_latency.py", "TL_augmentation_pipeline.py",
+        ],
+    }
+    for d, files in expected.items():
+        for f in files:
+            path = os.path.join(root, d, f)
+            assert os.path.isfile(path), f"missing workload script {d}/{f}"
+            py_compile.compile(path, doraise=True)
+
+
+def test_tl_predict_script_function(tmp_path):
+    """TrafficLight predict.py end-to-end on a fresh-init checkpoint
+    (folder mode, class-agnostic QFL decode path)."""
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(__file__), "..", "workloads", "TrafficLight_train")
+    )
+    try:
+        import jax
+
+        from lfdtpu import zoo
+        from lfdtpu.execution import save_checkpoint
+        import cv2
+        import predict as tl_predict
+
+        det = zoo.trafficlight_lfd("S")
+        variables = det.init(jax.random.PRNGKey(0), (128, 128))
+        ckpt = tmp_path / "tl.ckpt"
+        save_checkpoint(
+            str(ckpt),
+            {"params": variables["params"],
+             "batch_stats": variables.get("batch_stats", {})},
+        )
+        img_dir = tmp_path / "imgs"
+        img_dir.mkdir()
+        rng = np.random.RandomState(0)
+        cv2.imwrite(str(img_dir / "a.jpg"), (rng.rand(96, 128, 3) * 255).astype(np.uint8))
+        out = tl_predict.predict(
+            "S", str(ckpt), str(img_dir),
+            classification_threshold=0.5, out_dir=str(tmp_path),
+        )
+        assert isinstance(out, list) and len(out) == 1  # one image processed
+    finally:
+        sys.path.pop(0)
+
+
+@pytest.mark.slow
+def test_tt100k_workload_script_runs(tmp_path):
+    """CE-loss (45-class, C+1 softmax) training path end-to-end through the
+    real TT100K entry point (VERDICT r1 missing #2)."""
+    rng = np.random.RandomState(1)
+    samples = {}
+    for i in range(6):
+        img = (rng.rand(96, 96, 3) * 255).astype(np.uint8)
+        s = {"image": img}
+        if i < 5:
+            s["bboxes"] = [[20, 20, 18, 18]]
+            s["bbox_labels"] = [int(rng.randint(0, 45))]
+        samples[i] = s
+    pack_path = tmp_path / "pack.pkl"
+    with open(pack_path, "wb") as f:
+        pickle.dump([None, samples], f)
+
+    env = dict(os.environ)
+    env.update(
+        LFD_EPOCHS="1",
+        LFD_BATCH_SIZE="2",
+        LFD_NUM_WORKERS="1",
+        LFD_CROP_SIZE="96",
+        LFD_DATASET_PATH=str(pack_path),
+        JAX_PLATFORMS="cpu",
+    )
+    script_dir = os.path.join(os.path.dirname(__file__), "..", "workloads", "TT100K_train")
+    result = subprocess.run(
+        [sys.executable, "TT100K_LFD_S.py"],
+        cwd=script_dir, env=env, capture_output=True, text=True, timeout=900,
+    )
+    import glob
+    import shutil
+
+    for d in glob.glob(os.path.join(script_dir, "TT100K_LFD_S_work_dir_*")):
+        shutil.rmtree(d, ignore_errors=True)
+    assert result.returncode == 0, result.stderr[-3000:]
+    assert "Training finishes." in result.stderr + result.stdout

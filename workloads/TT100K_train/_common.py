@@ -28,6 +28,10 @@ from lfdtpu.execution import (
 from TT100K_augmentation_pipeline import tt100k_train_pipeline
 
 
+def _env_int(name, default):
+    return int(os.environ.get(name, default))
+
+
 def prepare_common_settings(config_dict, script_path):
     config_dict["timestamp"] = time.strftime("%Y%m%d_%H%M%S", time.localtime())
     base = os.path.basename(script_path).split(".")[0]
@@ -40,7 +44,9 @@ def prepare_common_settings(config_dict, script_path):
     sys.excepthook = customize_exception_hook(
         os.path.join(config_dict["work_dir"], "exception_log_" + config_dict["timestamp"] + ".log")
     )
-    config_dict["training_epochs"] = 500
+    # LFD_EPOCHS / LFD_BATCH_SIZE / LFD_NUM_WORKERS / LFD_DATASET_PATH /
+    # LFD_CROP_SIZE env overrides let CI exercise the real entry point
+    config_dict["training_epochs"] = _env_int("LFD_EPOCHS", 500)
     config_dict["seed"] = 666
     if config_dict["seed"] is not None:
         set_random_seed(config_dict["seed"])
@@ -61,11 +67,14 @@ def prepare_model(config_dict, size):
 
 
 def prepare_data_pipeline(config_dict):
-    config_dict["batch_size"] = 64
-    config_dict["num_train_workers"] = 12
+    config_dict["batch_size"] = _env_int("LFD_BATCH_SIZE", 64)
+    config_dict["num_train_workers"] = _env_int("LFD_NUM_WORKERS", 12)
     config_dict["num_val_workers"] = 0
-    config_dict["train_dataset_path"] = "./TT100K_pack/tt100k_train.pkl"
-    config_dict["input_hw"] = (512, 512)
+    config_dict["train_dataset_path"] = os.environ.get(
+        "LFD_DATASET_PATH", "./TT100K_pack/tt100k_train.pkl"
+    )
+    crop = _env_int("LFD_CROP_SIZE", 512)
+    config_dict["input_hw"] = (crop, crop)
 
     train_dataset = Dataset(load_path=config_dict["train_dataset_path"])
     train_dataset_sampler = RandomWithNegDatasetSampler(
@@ -73,7 +82,7 @@ def prepare_data_pipeline(config_dict):
         shuffle=True, ignore_last=False,
     )
     train_region_sampler = RandomBBoxCropRegionSampler(
-        crop_size=512, resize_range=(0.5, 1.5), resize_prob=0.5
+        crop_size=crop, resize_range=(0.5, 1.5), resize_prob=0.5
     )
     config_dict["train_data_loader"] = DataLoader(
         dataset=train_dataset,
