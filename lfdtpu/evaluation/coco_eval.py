@@ -108,16 +108,20 @@ def coco_map(gt_by_img_cat, det_by_img_cat, categories, max_dets=(100, 300, 1000
       gt_by_img_cat: {(image_id, cat): (list of xywh, list of iscrowd)}
       det_by_img_cat: {(image_id, cat): (list of xywh, list of scores)}
       categories: iterable of category ids
-      max_dets: maxDets list; AP uses the last entry.
+      max_dets: maxDets list. Matching pycocotools' `_summarizeDets` with
+        `params.maxDets=[100,300,1000]` (the reference's setting,
+        `coco_evaluator.py:68`): mAP reads the maxDets=100 column; the
+        50/75/s/m/l metrics read the LAST column. Truncation to each
+        maxDet happens PER IMAGE before the global score sort, exactly
+        like `COCOeval.accumulate`.
     Returns dict with mAP, mAP_50, mAP_75, mAP_s, mAP_m, mAP_l.
     """
     image_ids = sorted({k[0] for k in gt_by_img_cat} | {k[0] for k in det_by_img_cat})
-    max_det = max_dets[-1]
-    T, R = len(IOU_THRS), len(REC_THRS)
-    results = {}
+    max_det_cap = max_dets[-1]
+    T, R, M = len(IOU_THRS), len(REC_THRS), len(max_dets)
     area_names = list(AREA_RANGES)
-    # precision[t, r, k, a]
-    precision = -np.ones((T, R, len(categories), len(area_names)))
+    # precision[t, r, k, a, m]
+    precision = -np.ones((T, R, len(categories), len(area_names), M))
 
     for ki, cat in enumerate(categories):
         for ai, aname in enumerate(area_names):
@@ -129,50 +133,59 @@ def coco_map(gt_by_img_cat, det_by_img_cat, categories, max_dets=(100, 300, 1000
                 dets, scores = det_by_img_cat.get((img, cat), ([], []))
                 if not gts and not dets:
                     continue
-                dtm, dti, gti, s = _evaluate_image(dets, scores, gts, crowd, arng, max_det)
+                dtm, dti, gti, s = _evaluate_image(
+                    dets, scores, gts, crowd, arng, max_det_cap
+                )
                 all_matches.append(dtm)
                 all_ignore.append(dti)
                 all_scores.append(s)
                 n_gt += int((~gti).sum())
             if n_gt == 0:
                 continue
-            if all_scores:
-                scores = np.concatenate(all_scores)
-                order = np.argsort(-scores, kind="stable")
-                dtm = np.concatenate(all_matches, axis=1)[:, order]
-                dti = np.concatenate(all_ignore, axis=1)[:, order]
-            else:
-                dtm = np.zeros((T, 0), bool)
-                dti = np.zeros((T, 0), bool)
+            for mi, md in enumerate(max_dets):
+                if all_scores:
+                    scores = np.concatenate([s[:md] for s in all_scores])
+                    order = np.argsort(-scores, kind="stable")
+                    dtm = np.concatenate(
+                        [m[:, :md] for m in all_matches], axis=1
+                    )[:, order]
+                    dti = np.concatenate(
+                        [ig[:, :md] for ig in all_ignore], axis=1
+                    )[:, order]
+                else:
+                    dtm = np.zeros((T, 0), bool)
+                    dti = np.zeros((T, 0), bool)
 
-            tps = dtm & ~dti
-            fps = ~dtm & ~dti
-            tp_sum = np.cumsum(tps, axis=1).astype(np.float64)
-            fp_sum = np.cumsum(fps, axis=1).astype(np.float64)
-            for t in range(T):
-                tp, fp = tp_sum[t], fp_sum[t]
-                rc = tp / n_gt
-                pr = tp / np.maximum(tp + fp, np.finfo(np.float64).eps)
-                # monotone envelope
-                for i in range(len(pr) - 1, 0, -1):
-                    pr[i - 1] = max(pr[i - 1], pr[i])
-                inds = np.searchsorted(rc, REC_THRS, side="left")
-                q = np.zeros(R)
-                for ri, pi in enumerate(inds):
-                    if pi < len(pr):
-                        q[ri] = pr[pi]
-                precision[t, :, ki, ai] = q
+                tps = dtm & ~dti
+                fps = ~dtm & ~dti
+                tp_sum = np.cumsum(tps, axis=1).astype(np.float64)
+                fp_sum = np.cumsum(fps, axis=1).astype(np.float64)
+                for t in range(T):
+                    tp, fp = tp_sum[t], fp_sum[t]
+                    rc = tp / n_gt
+                    pr = tp / np.maximum(tp + fp, np.finfo(np.float64).eps)
+                    # monotone envelope
+                    for i in range(len(pr) - 1, 0, -1):
+                        pr[i - 1] = max(pr[i - 1], pr[i])
+                    inds = np.searchsorted(rc, REC_THRS, side="left")
+                    q = np.zeros(R)
+                    for ri, pi in enumerate(inds):
+                        if pi < len(pr):
+                            q[ri] = pr[pi]
+                    precision[t, :, ki, ai, mi] = q
 
-    def _ap(t_slice=slice(None), area="all"):
+    def _ap(t_slice=slice(None), area="all", mi=M - 1):
         ai = area_names.index(area)
-        p = precision[t_slice, :, :, ai]
+        p = precision[t_slice, :, :, ai, mi]
         p = p[p > -1]
         return float(np.mean(p)) if p.size else -1.0
 
     t50 = list(IOU_THRS).index(0.5)
     t75 = list(IOU_THRS).index(0.75)
+    # stats[0] uses _summarize's default maxDets=100 when present
+    m100 = max_dets.index(100) if 100 in max_dets else M - 1
     return {
-        "mAP": _ap(),
+        "mAP": _ap(mi=m100),
         "mAP_50": _ap(slice(t50, t50 + 1)),
         "mAP_75": _ap(slice(t75, t75 + 1)),
         "mAP_s": _ap(area="small"),
