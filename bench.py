@@ -37,7 +37,9 @@ def main():
         det, variables, (ph, pw), precision="bf16", preprocess=preprocess
     )
     images = np.random.randint(0, 255, (1, ph, pw, 3), dtype=np.uint8)
-    r = timing_inference(engine, images, (h, w), warmup_loops=10, timing_loops=50)
+    # 100 individually-timed loops; ms_per_image is the median (host/tunnel
+    # hiccups land in the upper tail instead of skewing the number)
+    r = timing_inference(engine, images, (h, w), warmup_loops=12, timing_loops=100)
 
     print(
         json.dumps(

@@ -145,36 +145,44 @@ class DataLoader:
     def _worker_func(self):
         while True:
             index_batch = self._index_queue.get()
-            images, annotations, metas = [], [], []
-            for sample_index in index_batch:
-                s = self._process_one(sample_index)
-                images.append(s["image"])
-                if "bboxes" in s:
-                    annotations.append(
-                        (
-                            np.asarray(s["bboxes"], np.float32).reshape(-1, 4),
-                            np.asarray(s["bbox_labels"], np.int64),
-                        )
-                    )
-                else:
-                    annotations.append(
-                        (np.empty((0, 4), np.float32), np.empty((0,), np.int64))
-                    )
-                meta_keys = set(s.keys()) - set(reserved_keys)
-                metas.append({k: s[k] for k in meta_keys} if meta_keys else None)
+            try:
+                self._produce_batch(index_batch)
+            except Exception as e:  # propagate: a silently-dead worker
+                # would starve the batch queue and hang the train loop
+                self._batch_queue.put(dict(worker_error=repr(e)))
+                raise
 
-            image_batch = self._assemble_images(images)
-            gt, labels, mask = pad_annotations(annotations, self._max_boxes)
-            self._batch_queue.put(
-                dict(
-                    images=image_batch,
-                    annotations=annotations,
-                    gt_bboxes=gt,
-                    gt_labels=labels,
-                    gt_mask=mask,
-                    meta=metas,
+    def _produce_batch(self, index_batch):
+        images, annotations, metas = [], [], []
+        for sample_index in index_batch:
+            s = self._process_one(sample_index)
+            images.append(s["image"])
+            if "bboxes" in s:
+                annotations.append(
+                    (
+                        np.asarray(s["bboxes"], np.float32).reshape(-1, 4),
+                        np.asarray(s["bbox_labels"], np.int64),
+                    )
                 )
+            else:
+                annotations.append(
+                    (np.empty((0, 4), np.float32), np.empty((0,), np.int64))
+                )
+            meta_keys = set(s.keys()) - set(reserved_keys)
+            metas.append({k: s[k] for k in meta_keys} if meta_keys else None)
+
+        image_batch = self._assemble_images(images)
+        gt, labels, mask = pad_annotations(annotations, self._max_boxes)
+        self._batch_queue.put(
+            dict(
+                images=image_batch,
+                annotations=annotations,
+                gt_bboxes=gt,
+                gt_labels=labels,
+                gt_mask=mask,
+                meta=metas,
             )
+        )
 
     def __iter__(self):
         if not self._started:
@@ -182,7 +190,12 @@ class DataLoader:
         for index_batch in self._dataset_sampler:
             self._index_queue.put(index_batch)
         for _ in range(self._loops):
-            yield self._batch_queue.get()
+            batch = self._batch_queue.get()
+            if "worker_error" in batch:
+                raise RuntimeError(
+                    f"data loader worker failed: {batch['worker_error']}"
+                )
+            yield batch
 
     def __len__(self):
         return self._loops
@@ -252,25 +265,32 @@ class ShmDataLoader(DataLoader):
         while True:
             index_batch = self._index_queue.get()
             slot = self._free_slots.get()
-            img, gt, lb, mk = self._slot_views(slot)
-            gt[:] = 0
-            lb[:] = 0
-            mk[:] = False
-            for bi, sample_index in enumerate(index_batch):
-                s = self._process_one(sample_index)
-                im = s["image"]
-                img[bi, : im.shape[0], : im.shape[1]] = im
-                if im.shape[0] < img.shape[1]:
-                    img[bi, im.shape[0]:] = 0
-                if im.shape[1] < img.shape[2]:
-                    img[bi, :, im.shape[1]:] = 0
-                boxes = s.get("bboxes", [])
-                n = min(len(boxes), self._max_boxes)
-                if n:
-                    gt[bi, :n] = np.asarray(boxes[:n], np.float32)
-                    lb[bi, :n] = np.asarray(s["bbox_labels"][:n], np.int32)
-                    mk[bi, :n] = True
+            try:
+                self._fill_slot(slot, index_batch)
+            except Exception as e:  # same propagation as the base loader
+                self._batch_queue.put(dict(worker_error=repr(e)))
+                raise
             self._batch_queue.put(slot)
+
+    def _fill_slot(self, slot, index_batch):
+        img, gt, lb, mk = self._slot_views(slot)
+        gt[:] = 0
+        lb[:] = 0
+        mk[:] = False
+        for bi, sample_index in enumerate(index_batch):
+            s = self._process_one(sample_index)
+            im = s["image"]
+            img[bi, : im.shape[0], : im.shape[1]] = im
+            if im.shape[0] < img.shape[1]:
+                img[bi, im.shape[0]:] = 0
+            if im.shape[1] < img.shape[2]:
+                img[bi, :, im.shape[1]:] = 0
+            boxes = s.get("bboxes", [])
+            n = min(len(boxes), self._max_boxes)
+            if n:
+                gt[bi, :n] = np.asarray(boxes[:n], np.float32)
+                lb[bi, :n] = np.asarray(s["bbox_labels"][:n], np.int32)
+                mk[bi, :n] = True
 
     def __iter__(self):
         if not self._started:
@@ -279,6 +299,10 @@ class ShmDataLoader(DataLoader):
             self._index_queue.put(index_batch)
         for _ in range(self._loops):
             slot = self._batch_queue.get()
+            if isinstance(slot, dict) and "worker_error" in slot:
+                raise RuntimeError(
+                    f"data loader worker failed: {slot['worker_error']}"
+                )
             img, gt, lb, mk = self._slot_views(slot)
             yield dict(images=img, gt_bboxes=gt, gt_labels=lb, gt_mask=mk,
                        _slot=slot, _loader=self)

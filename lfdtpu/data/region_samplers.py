@@ -196,7 +196,12 @@ class RandomBBoxCropWithRangeSelectionRegionSampler(BaseRegionSampler):
                 scale = (self._upper + random.randint(0, int(self._upper * 0.5))) / side
             else:
                 rng_sel = random.choices(self._ranges, self._probs)[0]
-                scale = random.randint(rng_sel[0], rng_sel[1]) / side
+                # clamp to >=1: a range with lower bound 0 (e.g. the
+                # TrafficLight scales) can otherwise draw target length 0
+                # -> cv2.resize(fx=0) crash (the reference has the same
+                # hazard, `region_sampler.py:212-214`, but its configs never
+                # pair range-selection with a 0 lower bound)
+                scale = max(random.randint(rng_sel[0], rng_sel[1]), 1) / side
         else:
             lo, hi = self._neg_resize_range
             scale = random.random() * (hi - lo) + lo

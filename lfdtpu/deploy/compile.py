@@ -80,11 +80,17 @@ def compile_inference(
         compute_dtype = jnp.bfloat16
     elif precision == "int8":
         # true int8 convs (int8_net.py): per-out-channel weight scales,
-        # static (calibrated act_scales) or dynamic activation scales
-        run_vars = variables
+        # static (calibrated act_scales) or dynamic activation scales.
+        # Kernels quantize ONCE here — the engine does zero per-call
+        # weight work and ships int8 weights over the tunnel (4x smaller).
+        from .int8_net import prequantize_weights
+
+        run_vars, weight_scales = prequantize_weights(variables)
         compute_dtype = jnp.float32
     else:
         raise ValueError(f"unknown precision {precision}")
+    if precision != "int8":
+        weight_scales = None
 
     # weights and point-grid constants are jit ARGUMENTS held on device by
     # the Engine wrapper: closing over them would embed them as compiled-in
@@ -95,9 +101,11 @@ def compile_inference(
         k: jax.device_put(v)
         for k, v in detector.level_arrays(input_hw).items()
     }
+    if weight_scales is not None:
+        weight_scales = {k: jax.device_put(v) for k, v in weight_scales.items()}
 
     @jax.jit
-    def _engine(run_vars, level_arrays, images, valid_hw):
+    def _engine(run_vars, level_arrays, weight_scales, images, valid_hw):
         x = images
         if preprocess is not None:
             x = preprocess(x)
@@ -105,7 +113,8 @@ def compile_inference(
         if precision == "int8":
             from .int8_net import int8_interception
 
-            with int8_interception(act_scales=act_scales):
+            with int8_interception(act_scales=act_scales,
+                                   weight_scales=weight_scales):
                 cls_o, reg_o = detector.net.apply(run_vars, x, train=False)
         else:
             cls_o, reg_o = detector.net.apply(run_vars, x, train=False)
@@ -124,6 +133,7 @@ def compile_inference(
         input_resolution = input_hw
 
         def __call__(self, images, valid_hw):
-            return _engine(run_vars, level_arrays, images, jnp.asarray(valid_hw, jnp.float32))
+            return _engine(run_vars, level_arrays, weight_scales, images,
+                           jnp.asarray(valid_hw, jnp.float32))
 
     return Engine()

@@ -31,14 +31,20 @@ def _quantize_weights(kernel):
     return q, scale[0, 0, 0, :]  # (Cout,)
 
 
-def _int8_conv(mod, x, act_scale):
+def _int8_conv(mod, x, act_scale, w_scale=None):
     kernel = mod.variables["params"]["kernel"]
     bias = mod.variables["params"].get("bias")
 
     if act_scale is None:  # dynamic per-tensor activation scale
         act_scale = jnp.maximum(jnp.max(jnp.abs(x)), 1e-8) / 127.0
     xq = jnp.clip(jnp.round(x / act_scale), -127, 127).astype(jnp.int8)
-    wq, w_scale = _quantize_weights(kernel)
+    if kernel.dtype == jnp.int8:
+        # weights pre-quantized at engine build (prequantize_weights):
+        # no per-call abs-max/round over the kernel
+        wq = kernel
+        assert w_scale is not None, "int8 kernel needs its per-channel scale"
+    else:
+        wq, w_scale = _quantize_weights(kernel)
 
     strides = mod.strides if isinstance(mod.strides, tuple) else (mod.strides, mod.strides)
     y = jax.lax.conv_general_dilated(
@@ -71,14 +77,44 @@ class ActScaleObserver:
         return {k: max(v, 1e-8) / 127.0 for k, v in self.amax.items()}
 
 
+def prequantize_weights(variables):
+    """Quantize every conv kernel to int8 ONCE at engine build.
+
+    Returns (variables with int8 kernels, {module_path: (Cout,) f32 weight
+    scales}). The int8 engine then does zero per-call weight work — only
+    activations are quantized at runtime. Paths match the interceptor's
+    "/".join(module.path) keys (params scope without the 'params' root)."""
+    params = variables["params"]
+    scales = {}
+
+    def walk(tree, path):
+        out = {}
+        for k, v in tree.items():
+            if isinstance(v, dict):
+                if "kernel" in v and getattr(v["kernel"], "ndim", 0) == 4:
+                    q, s = _quantize_weights(jnp.asarray(v["kernel"]))
+                    scales["/".join(path + (k,))] = s
+                    out[k] = dict(v, kernel=q)
+                else:
+                    out[k] = walk(v, path + (k,))
+            else:
+                out[k] = v
+        return out
+
+    new_params = walk(params, ())
+    return dict(variables, params=new_params), scales
+
+
 @contextlib.contextmanager
-def int8_interception(act_scales=None, observer=None):
+def int8_interception(act_scales=None, observer=None, weight_scales=None):
     """Context manager: inside it, detector.net.apply runs convs in int8.
 
     act_scales: {module_path_str: float} static activation scales (from a
       calibration pass); missing entries fall back to dynamic scales.
     observer: when set, convs run in the original dtype but activation amax
       values are recorded per path (calibration mode; use OUTSIDE jit).
+    weight_scales: {module_path_str: (Cout,)} from prequantize_weights when
+      the kernels in `variables` are already int8.
     """
 
     def interceptor(next_fun, args, kwargs, context):
@@ -93,7 +129,8 @@ def int8_interception(act_scales=None, observer=None):
         scale = None
         if act_scales is not None and path in act_scales:
             scale = jnp.float32(act_scales[path])
-        return _int8_conv(mod, x, scale)
+        wscale = weight_scales.get(path) if weight_scales is not None else None
+        return _int8_conv(mod, x, scale, w_scale=wscale)
 
     with nn.intercept_methods(interceptor):
         yield

@@ -17,11 +17,22 @@ import numpy as np
 
 def timing_inference(engine, images, valid_hw, warmup_loops=10, timing_loops=100,
                      distinct_inputs=8):
-    """Time a compiled engine. Returns dict(ms_per_image, fps).
+    """Time a compiled engine. Returns per-loop robust statistics.
 
-    Rotates over `distinct_inputs` pre-uploaded input variants so runtimes
-    that memoize identical (executable, args) calls cannot shortcut the
-    measurement (observed on remote-attached TPU backends)."""
+    Methodology (each point needed for trustworthy numbers on a
+    remote-attached backend, BENCH.md):
+      - rotates over `distinct_inputs` pre-uploaded input variants so
+        runtimes that memoize identical (executable, args) calls cannot
+        shortcut the measurement;
+      - times EVERY loop individually (call + block_until_ready) and
+        reports the MEDIAN with the interquartile range — host/tunnel
+        hiccups land in the upper tail instead of skewing the mean;
+      - warmup excludes compile + first-upload costs, like the
+        reference's `timing_engine` (`inference_latency_evaluation.py:43-66`).
+
+    Returns dict(ms_per_image=median, fps, ms_mean, ms_min, ms_p25,
+    ms_p75, ms_p95, loops).
+    """
     images = np.asarray(images)
     valid_hw = jnp.asarray(valid_hw, jnp.float32)
     batch = images.shape[0]
@@ -34,13 +45,24 @@ def timing_inference(engine, images, valid_hw, warmup_loops=10, timing_loops=100
     for i in range(max(warmup_loops, len(variants))):
         out = engine(variants[i % len(variants)], valid_hw)
     jax.block_until_ready(out)
-    t0 = time.perf_counter()
+    samples = np.empty(timing_loops)
     for i in range(timing_loops):
+        t0 = time.perf_counter()
         out = engine(variants[i % len(variants)], valid_hw)
         jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
-    ms = dt / timing_loops / batch * 1000.0
-    return dict(ms_per_image=ms, fps=1000.0 / ms)
+        samples[i] = time.perf_counter() - t0
+    ms = samples * 1000.0 / batch
+    med = float(np.median(ms))
+    return dict(
+        ms_per_image=med,
+        fps=1000.0 / med,
+        ms_mean=float(ms.mean()),
+        ms_min=float(ms.min()),
+        ms_p25=float(np.percentile(ms, 25)),
+        ms_p75=float(np.percentile(ms, 75)),
+        ms_p95=float(np.percentile(ms, 95)),
+        loops=int(timing_loops),
+    )
 
 
 def inference_latency_evaluation(
@@ -78,7 +100,8 @@ def inference_latency_evaluation(
             results[(precision, (h, w))] = r
             if verbose:
                 print(
-                    f"[{precision}] {w}x{h}: {r['ms_per_image']:.2f} ms/image, "
+                    f"[{precision}] {w}x{h}: median {r['ms_per_image']:.2f} ms/image "
+                    f"(IQR {r['ms_p25']:.2f}-{r['ms_p75']:.2f}), "
                     f"{r['fps']:.1f} FPS (end-to-end incl. decode+NMS)"
                 )
     return results

@@ -224,26 +224,37 @@ class FCOS:
             self._predict_cache[key] = run
         return self._predict_cache[key]
 
+    def results_from_outputs(self, outputs, input_hw, meta_batch, spec=None):
+        """Batch of dense (cls, reg, ctr) outputs -> reference result rows;
+        one jitted decode for the whole batch (shared with Executor.val)."""
+        spec = spec or self.decode_spec()
+        input_hw = (int(input_hw[0]), int(input_hw[1]))
+        B = outputs[0].shape[0]
+        valid_hws = np.asarray(
+            [
+                [
+                    (meta_batch[i] or {}).get("resized_height", input_hw[0]),
+                    (meta_batch[i] or {}).get("resized_width", input_hw[1]),
+                ]
+                for i in range(B)
+            ],
+            np.float32,
+        )
+        run = self._batched_decode_jit(input_hw, spec)
+        decoded = run(outputs, jnp.asarray(valid_hws), self.level_arrays(input_hw))
+        results = []
+        for i in range(B):
+            scale = (meta_batch[i] or {}).get("resize_scale", 1.0)
+            single = {k: v[i] for k, v in decoded.items()}
+            results.append(detections_to_lists(single, resize_scale=scale))
+        return results
+
     def get_results(self, variables, images, meta_batch,
                     classification_threshold=None, nms_threshold=None):
         spec = self.decode_spec(classification_threshold, nms_threshold)
         input_hw = (int(images.shape[1]), int(images.shape[2]))
-        cls_o, reg_o, ctr_o = self.__call__(variables, images, train=False)
-        results = []
-        for i in range(images.shape[0]):
-            meta = meta_batch[i] or {}
-            decoded = self.decode_single(
-                (cls_o[i], reg_o[i], ctr_o[i]), input_hw,
-                (
-                    jnp.float32(meta.get("resized_height", input_hw[0])),
-                    jnp.float32(meta.get("resized_width", input_hw[1])),
-                ),
-                spec,
-            )
-            results.append(
-                detections_to_lists(decoded, meta.get("resize_scale", 1.0))
-            )
-        return results
+        outs = self.__call__(variables, images, train=False)
+        return self.results_from_outputs(outs, input_hw, meta_batch, spec)
 
     def _predict_jit(self, input_hw, spec):
         key = (input_hw, spec)

@@ -237,3 +237,32 @@ def test_shm_loader_batches_and_recycling():
         assert seen == 3 * len(loader)
     finally:
         loader.close()
+
+
+def test_jpeg_codec_roundtrips():
+    """encode/scale_with_quality/crop parity surface (`turbojpeg.py:281-368`)."""
+    import cv2
+
+    from lfdtpu.data import jpeg_crop, jpeg_decode, jpeg_encode, scale_with_quality
+
+    rng = np.random.RandomState(0)
+    # smooth image so JPEG round-trip error stays small
+    img = cv2.GaussianBlur(
+        (rng.rand(64, 96, 3) * 255).astype(np.uint8), (15, 15), 5
+    )
+    buf = jpeg_encode(img, quality=95)
+    back = jpeg_decode(buf)
+    assert back.shape == img.shape
+    assert np.abs(back.astype(int) - img.astype(int)).mean() < 8
+
+    half = scale_with_quality(buf, scaling_factor=(1, 2), quality=90)
+    scaled = jpeg_decode(half)
+    assert scaled.shape[:2] == (32, 48)  # ceil(dim * 1/2)
+    with pytest.raises(ValueError):
+        scale_with_quality(buf, scaling_factor=(1, 3))
+
+    # crop snaps x/y DOWN to the 16px MCU grid and extends the region
+    cropped = jpeg_decode(jpeg_crop(buf, 20, 20, 32, 32))
+    assert cropped.shape[:2] == (36, 36)  # snap 20->16, 32+4 extension
+    gray = jpeg_decode(jpeg_crop(buf, 0, 0, 32, 32, gray=True))
+    assert gray.ndim == 2

@@ -1,0 +1,41 @@
+# Synthetic end-to-end accuracy for ALL detector families (VERDICT r1
+# next #7): full stack (loader -> on-device assignment -> loss ->
+# optimizer -> decode -> NMS -> numpy COCO eval) must learn on synthetic
+# scenes. The multiscale LFD run additionally asserts per-range recall so
+# a silently-broken level fails.
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+
+from synthetic_e2e import run_synthetic  # noqa: E402
+
+
+@pytest.mark.slow
+def test_synthetic_lfd_multiscale_per_range_recall():
+    # threshold 0.42: the 4-scale task is much harder than the single-scale
+    # ones (tiny objects drag the average; observed 0.48-0.55 across seeds);
+    # the per-range recall assertion is the real dead-level guard
+    m = run_synthetic("lfd", multiscale=True, epochs=80, threshold=0.42,
+                      recall_threshold=0.6)
+    assert len(m["per_range_recall"]) == 4
+
+
+@pytest.mark.slow
+def test_synthetic_lfdv2():
+    m = run_synthetic("lfdv2", epochs=60, threshold=0.5)
+    assert m["mAP_50"] > 0.5
+
+
+@pytest.mark.slow
+def test_synthetic_lfdv2q():
+    m = run_synthetic("lfdv2q", epochs=60, threshold=0.5)
+    assert m["mAP_50"] > 0.5
+
+
+@pytest.mark.slow
+def test_synthetic_fcos():
+    m = run_synthetic("fcos", epochs=60, threshold=0.5)
+    assert m["mAP_50"] > 0.5

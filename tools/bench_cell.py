@@ -1,0 +1,56 @@
+#!/usr/bin/env python
+"""Time ONE (model, precision, resolution) cell in a fresh process and
+print one JSON line.
+
+A fresh process per cell is required for credible numbers on the
+remote-attached TPU backend: D2H fetches of a *different* executable's
+outputs permanently degrade a process to ~35 ms/call (measured, see
+.claude/skills/verify/SKILL.md), so a 48-cell sweep in one process
+poisons every cell after the first — exactly the inverted orderings
+VERDICT r1 flagged in the round-1 table.
+
+Usage: python tools/bench_cell.py WIDERFACE-L bf16 1080 1920 [loops]
+"""
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    model_name, precision = sys.argv[1], sys.argv[2]
+    h, w = int(sys.argv[3]), int(sys.argv[4])
+    loops = int(sys.argv[5]) if len(sys.argv) > 5 else 100
+
+    import jax
+    import numpy as np
+
+    from lfdtpu.deploy import (
+        compile_inference,
+        make_device_preprocess,
+        quantize_variables_int8,
+        timing_inference,
+    )
+    from lfdtpu.zoo import ZOO
+
+    det = ZOO[model_name]()
+    variables = det.init(jax.random.PRNGKey(0), (256, 256))
+    if precision == "int8":
+        variables = quantize_variables_int8(variables)
+
+    divisor = max(det.point_strides)
+    ph = (h + divisor - 1) // divisor * divisor
+    pw = (w + divisor - 1) // divisor * divisor
+    preprocess = make_device_preprocess((0.5, 0.5, 0.5), (0.5, 0.5, 0.5))
+    engine = compile_inference(
+        det, variables, (ph, pw), precision=precision, preprocess=preprocess
+    )
+    images = np.random.randint(0, 255, (1, ph, pw, 3), dtype=np.uint8)
+    r = timing_inference(engine, images, (h, w), warmup_loops=12, timing_loops=loops)
+    r.update(model=model_name, precision=precision, height=h, width=w)
+    print("CELL_RESULT " + json.dumps(r))
+
+
+if __name__ == "__main__":
+    main()

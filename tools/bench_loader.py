@@ -1,0 +1,103 @@
+#!/usr/bin/env python
+"""Loader-only throughput microbench across worker counts and variants.
+
+Substantiates (or bounds) the ShmDataLoader scaling claim from BENCH.md:
+feeds a synthetic in-memory dataset through each loader variant at 1/2/4
+workers and reports batches/s and images/s — no device work at all.
+
+On this container (nproc=1) every variant serializes on the single core,
+so the numbers here are a lower bound; the tool exists so a multi-core
+host can demonstrate the scaling directly.
+
+Usage: python tools/bench_loader.py [--batches N]
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+class MemDataset:
+    def __init__(self, n=256, size=480):
+        rng = np.random.RandomState(0)
+        self._s = {
+            i: {
+                "image": (rng.rand(size, size, 3) * 255).astype(np.uint8),
+                "bboxes": [[20, 20, 60, 60]],
+                "bbox_labels": [0],
+            }
+            for i in range(n)
+        }
+
+    def __getitem__(self, i):
+        return self._s[i]
+
+    def __len__(self):
+        return len(self._s)
+
+    def get_indexes(self):
+        return list(self._s.keys())
+
+
+def bench(loader_cls, workers, n_batches, **kw):
+    from lfdtpu.data import (
+        Compose, RandomBBoxCropRegionSampler, RandomDatasetSampler,
+        simple_normalize,
+    )
+
+    ds = MemDataset()
+    loader = loader_cls(
+        ds, RandomDatasetSampler(ds, batch_size=16, seed=0),
+        RandomBBoxCropRegionSampler(crop_size=480, resize_range=(0.8, 1.25), resize_prob=0.5),
+        augmentation_pipeline=Compose([simple_normalize]),
+        num_workers=workers, max_boxes_per_image=8, **kw,
+    )
+    it = iter(loader)
+    next(it)  # warmup (workers spin up)
+    t0 = time.perf_counter()
+    done = 1
+    for batch in it:
+        done += 1
+        if done >= n_batches:
+            break
+    dt = time.perf_counter() - t0
+    bps = (done - 1) / dt
+    return dict(batches_per_s=bps, images_per_s=bps * 16)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batches", type=int, default=12)
+    args = ap.parse_args()
+
+    import functools
+
+    from lfdtpu.data.loader import DataLoader, ShmDataLoader
+
+    results = {}
+    print(f"nproc={os.cpu_count()}")
+    variants = [
+        ("threaded", DataLoader),
+        ("process", functools.partial(DataLoader, use_processes=True)),
+        ("shm", ShmDataLoader),
+    ]
+    for name, cls in variants:
+        for workers in (1, 2, 4):
+            try:
+                r = bench(cls, workers, args.batches)
+            except Exception as e:
+                r = dict(error=f"{type(e).__name__}: {e}")
+            results[f"{name}-w{workers}"] = r
+            msg = (f"{r['images_per_s']:.1f} img/s"
+                   if "images_per_s" in r else r["error"][:80])
+            print(f"{name:9s} workers={workers}: {msg}", flush=True)
+    print(json.dumps(results, indent=1))
+
+
+if __name__ == "__main__":
+    main()
