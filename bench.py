@@ -37,9 +37,11 @@ def main():
         det, variables, (ph, pw), precision="bf16", preprocess=preprocess
     )
     images = np.random.randint(0, 255, (1, ph, pw, 3), dtype=np.uint8)
-    # 100 individually-timed loops; ms_per_image is the median (host/tunnel
-    # hiccups land in the upper tail instead of skewing the number)
-    r = timing_inference(engine, images, (h, w), warmup_loops=12, timing_loops=100)
+    # honest async-backend timing: segments of enqueues closed by an
+    # own-output fetch (true completion); median over segments. See
+    # deploy/latency.timing_inference — block_until_ready alone returns at
+    # enqueue on this backend and under-reports ~20x.
+    r = timing_inference(engine, images, (h, w), warmup_loops=12)
 
     print(
         json.dumps(

@@ -15,23 +15,44 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def timing_inference(engine, images, valid_hw, warmup_loops=10, timing_loops=100,
-                     distinct_inputs=8):
-    """Time a compiled engine. Returns per-loop robust statistics.
+def _sync(out):
+    """Force TRUE completion of an engine output.
 
-    Methodology (each point needed for trustworthy numbers on a
-    remote-attached backend, BENCH.md):
+    On the remote-attached axon backend `jax.block_until_ready` returns at
+    ENQUEUE time (measured: a 6.9 ms program "completes" in 0.3 ms under
+    block_until_ready; a dependent-chain measurement and a pipelined
+    200-deep run both show the real 6.9 ms). Only a D2H fetch of the
+    program's own output actually waits, so sync = fetch the (tiny) count
+    vector. The fetch itself costs a flat ~30 ms on this backend — callers
+    amortize it over a segment of enqueued calls."""
+    probe = out["count"] if isinstance(out, dict) and "count" in out else out
+    np.asarray(jax.tree.leaves(probe)[0])
+
+
+def timing_inference(engine, images, valid_hw, warmup_loops=10, timing_loops=None,
+                     distinct_inputs=8, segments=5, segment_target_s=2.0):
+    """Time a compiled engine HONESTLY on an async remote backend.
+
+    Methodology (every point is load-bearing for trustworthy numbers —
+    see BENCH.md):
       - rotates over `distinct_inputs` pre-uploaded input variants so
         runtimes that memoize identical (executable, args) calls cannot
         shortcut the measurement;
-      - times EVERY loop individually (call + block_until_ready) and
-        reports the MEDIAN with the interquartile range — host/tunnel
-        hiccups land in the upper tail instead of skewing the mean;
-      - warmup excludes compile + first-upload costs, like the
-        reference's `timing_engine` (`inference_latency_evaluation.py:43-66`).
+      - `block_until_ready` is NOT trusted as a completion signal (on the
+        axon tunnel it returns at enqueue): each timed SEGMENT enqueues K
+        calls and then fetches the LAST output's count (own-output D2H =
+        true completion of everything enqueued before it, in order);
+      - per-image time = segment wall time / K; the one fetch per segment
+        adds a documented upward bias of ~30ms/K (<3% at K>=100);
+      - the reported number is the MEDIAN over segments with IQR;
+      - warmup excludes compile + first-upload, like the reference's
+        `timing_engine` (`inference_latency_evaluation.py:43-66`).
+
+    timing_loops: total enqueued calls across segments; None = sized so a
+    segment takes ~segment_target_s (min 20 calls).
 
     Returns dict(ms_per_image=median, fps, ms_mean, ms_min, ms_p25,
-    ms_p75, ms_p95, loops).
+    ms_p75, loops, segments).
     """
     images = np.asarray(images)
     valid_hw = jnp.asarray(valid_hw, jnp.float32)
@@ -41,27 +62,45 @@ def timing_inference(engine, images, valid_hw, warmup_loops=10, timing_loops=100
     for _ in range(max(distinct_inputs - 1, 0)):
         noise = rng.randint(0, 255, images.shape).astype(images.dtype)
         variants.append(jax.device_put(jnp.asarray(noise)))
+
     out = None
     for i in range(max(warmup_loops, len(variants))):
         out = engine(variants[i % len(variants)], valid_hw)
-    jax.block_until_ready(out)
-    samples = np.empty(timing_loops)
-    for i in range(timing_loops):
+    _sync(out)
+
+    if timing_loops is None:
+        # calibrate K from a quick probe segment
         t0 = time.perf_counter()
-        out = engine(variants[i % len(variants)], valid_hw)
-        jax.block_until_ready(out)
-        samples[i] = time.perf_counter() - t0
-    ms = samples * 1000.0 / batch
-    med = float(np.median(ms))
+        for i in range(10):
+            out = engine(variants[i % len(variants)], valid_hw)
+        _sync(out)
+        est = max((time.perf_counter() - t0) / 10, 1e-4)
+        K = int(np.clip(segment_target_s / est, 20, 200))
+    else:
+        K = max(timing_loops // segments, 1)
+
+    seg_ms = []
+    n = 0
+    for _ in range(segments):
+        t0 = time.perf_counter()
+        for i in range(K):
+            out = engine(variants[(n + i) % len(variants)], valid_hw)
+        _sync(out)
+        seg_ms.append((time.perf_counter() - t0) / K * 1000.0 / batch)
+        n += K
+    seg_ms = np.asarray(seg_ms)
+    med = float(np.median(seg_ms))
     return dict(
         ms_per_image=med,
         fps=1000.0 / med,
-        ms_mean=float(ms.mean()),
-        ms_min=float(ms.min()),
-        ms_p25=float(np.percentile(ms, 25)),
-        ms_p75=float(np.percentile(ms, 75)),
-        ms_p95=float(np.percentile(ms, 95)),
-        loops=int(timing_loops),
+        ms_mean=float(seg_ms.mean()),
+        ms_min=float(seg_ms.min()),
+        ms_p25=float(np.percentile(seg_ms, 25)),
+        ms_p75=float(np.percentile(seg_ms, 75)),
+        ms_p95=float(np.percentile(seg_ms, 95)),
+        loops=int(K * segments),
+        segments=int(segments),
+        calls_per_segment=int(K),
     )
 
 

@@ -21,7 +21,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 def main():
     model_name, precision = sys.argv[1], sys.argv[2]
     h, w = int(sys.argv[3]), int(sys.argv[4])
-    loops = int(sys.argv[5]) if len(sys.argv) > 5 else 100
+    loops = int(sys.argv[5]) if len(sys.argv) > 5 else 0
 
     import jax
     import numpy as np
@@ -47,7 +47,7 @@ def main():
         det, variables, (ph, pw), precision=precision, preprocess=preprocess
     )
     images = np.random.randint(0, 255, (1, ph, pw, 3), dtype=np.uint8)
-    r = timing_inference(engine, images, (h, w), warmup_loops=12, timing_loops=loops)
+    r = timing_inference(engine, images, (h, w), warmup_loops=12, timing_loops=loops if loops else None)
     r.update(model=model_name, precision=precision, height=h, width=w)
     print("CELL_RESULT " + json.dumps(r))
 

@@ -20,7 +20,7 @@ PEAK = {"fp32": 197e12, "bf16": 197e12, "int8": 394e12}
 def main():
     model_name, precision = sys.argv[1], sys.argv[2]
     h, w = int(sys.argv[3]), int(sys.argv[4])
-    loops = int(sys.argv[5]) if len(sys.argv) > 5 else 100
+    loops = int(sys.argv[5]) if len(sys.argv) > 5 else 0
 
     import jax
     import jax.numpy as jnp
@@ -54,7 +54,7 @@ def main():
     ca = ca[0] if isinstance(ca, (list, tuple)) else ca
     flops = float(ca.get("flops", 0.0))
 
-    r = timing_inference(engine, images, (h, w), warmup_loops=12, timing_loops=loops)
+    r = timing_inference(engine, images, (h, w), warmup_loops=12, timing_loops=loops if loops else None)
     ms = r["ms_per_image"]
     mfu = flops / (ms / 1000.0) / PEAK[precision]
     r.update(model=model_name, precision=precision, height=h, width=w,
