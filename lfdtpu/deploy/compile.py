@@ -59,6 +59,7 @@ def compile_inference(
     max_det=None,
     batch_size=1,
     act_scales=None,
+    approx_topk=False,
 ):
     """Build ("compile") one inference engine.
 
@@ -66,11 +67,20 @@ def compile_inference(
     -> decoded dict with fixed-shape boxes/scores/labels/count per image.
     Call `.lower(...).compile()` happens on first invocation; use
     latency.timing_inference for warmup-excluded measurement.
+
+    approx_topk: use the TPU-native approx_max_k for the pre-NMS candidate
+    selection (see DecodeSpec.approx_topk). Measured on the v5e tunnel it
+    is latency-neutral for these P sizes (7.06 vs 7.04 ms at 1080p-L), so
+    the default stays False (exact, bit-identical to the predict path).
     """
+    import dataclasses
+
     input_hw = (int(input_hw[0]), int(input_hw[1]))
     spec = detector.decode_spec(
         classification_threshold, nms_threshold, class_agnostic, max_det
     )
+    if approx_topk:
+        spec = dataclasses.replace(spec, approx_topk=True)
 
     if precision == "fp32":
         run_vars = variables
