@@ -346,6 +346,82 @@ def test_get_loss_parity_vs_reference():
         np.testing.assert_allclose(got_vals[k], ref_vals[k], rtol=2e-3, err_msg=k)
 
 
+def test_train_step_trajectory_parity_vs_reference():
+    """Same weights + same batch + plain SGD => the same 3-step loss
+    TRAJECTORY as the live reference (torch autograd vs our custom-VJP
+    focal loss and IoU-loss autodiff, BN in train mode, target assignment
+    under gradient). Catches gradient-semantics drift that single-forward
+    parity cannot."""
+    torch = pytest.importorskip("torch")
+    import jax
+    import jax.numpy as jnp
+
+    from ref_harness import load_reference
+
+    lfd = load_reference()
+    det, variables = _build_flax_s()
+    bb, neck, head = _build_torch_s()
+    _transplant_s(variables, bb, neck, head)
+    ref_model = _build_ref_full_model(lfd, bb, neck, head)
+
+    rng = np.random.RandomState(3)
+    B, H, W = 2, 128, 128
+    images = rng.rand(B, H, W, 3).astype(np.float32) * 2 - 1
+    ann = [
+        (np.asarray([[20, 30, 18, 12], [60, 80, 50, 44]], np.float32),
+         np.zeros((2,), np.int64)),
+        (np.asarray([[10, 10, 30, 26]], np.float32), np.zeros((1,), np.int64)),
+    ]
+    lr = 0.01
+
+    # --- reference: torch SGD, train mode (BN batch stats + running update)
+    ref_model.train()
+    opt = torch.optim.SGD(ref_model.parameters(), lr=lr)
+    tx = torch.from_numpy(np.transpose(images, (0, 3, 1, 2)).copy())
+    ref_losses = []
+    for _ in range(3):
+        outs = ref_model(tx)
+        ld = ref_model.get_loss(outs, ann)
+        loss = ld["loss"]
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+        ref_losses.append(float(loss))
+
+    # --- ours: same plain SGD on the jitted loss
+    gt = np.zeros((B, 2, 4), np.float32)
+    labels = np.zeros((B, 2), np.int32)
+    mask = np.zeros((B, 2), bool)
+    for i, (bxs, lbs) in enumerate(ann):
+        gt[i, : len(bxs)] = bxs
+        mask[i, : len(bxs)] = True
+    gt_j, lb_j, mk_j = jnp.asarray(gt), jnp.asarray(labels), jnp.asarray(mask)
+    img_j = jnp.asarray(images)
+
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+
+    @jax.jit
+    def step(params, batch_stats):
+        def loss_fn(p):
+            outs, mut = det.forward(
+                {"params": p, "batch_stats": batch_stats}, img_j, train=True
+            )
+            ld = det.get_loss(outs, gt_j, lb_j, mk_j, (H, W))
+            return ld["loss"], mut["batch_stats"]
+
+        (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        new_params = jax.tree.map(lambda p, g: p - lr * g, params, grads)
+        return new_params, new_bs, loss
+
+    got_losses = []
+    for _ in range(3):
+        params, batch_stats, loss = step(params, batch_stats)
+        got_losses.append(float(loss))
+
+    np.testing.assert_allclose(got_losses, ref_losses, rtol=5e-3)
+
+
 def test_fcos_head_weight_parity():
     torch = pytest.importorskip("torch")
     import jax
