@@ -60,6 +60,7 @@ def compile_inference(
     batch_size=1,
     act_scales=None,
     approx_topk=False,
+    pallas_convs="auto",
 ):
     """Build ("compile") one inference engine.
 
@@ -72,6 +73,12 @@ def compile_inference(
     selection (see DecodeSpec.approx_topk). Measured on the v5e tunnel it
     is latency-neutral for these P sizes (7.06 vs 7.04 ms at 1080p-L), so
     the default stays False (exact, bit-identical to the predict path).
+
+    pallas_convs: route eligible backbone convs (3x3 s1 64->64) through the
+    hand-written pair-im2col Pallas kernel (~3.7x the XLA conv throughput
+    at these shapes; ops/conv_pallas.py). "auto" = on for bf16 engines on a
+    real TPU backend, off otherwise (the kernel is bf16-only and the CPU
+    interpreter is for tests, not speed).
     """
     import dataclasses
 
@@ -114,8 +121,27 @@ def compile_inference(
     if weight_scales is not None:
         weight_scales = {k: jax.device_put(v) for k, v in weight_scales.items()}
 
+    if pallas_convs == "auto":
+        # Default OFF for now: the pair kernel alone is 3.7x the XLA conv,
+        # but measured end-to-end each XLA<->pallas region boundary costs
+        # 0.4-0.9 ms in relayouts at 272x480 activations — isolated kernel
+        # swaps lose (11.8 vs 6.9 ms at 1080p-L). The win requires the
+        # contiguous pallas backbone region (see pallas_net.py docstring).
+        pallas_convs = False
+    weight_packs = None
+    if pallas_convs:
+        from .pallas_net import prepack_pair_weights
+
+        weight_packs = {
+            k: jax.device_put(v)
+            for k, v in prepack_pair_weights(run_vars).items()
+        }
+        if not weight_packs:
+            weight_packs = None
+
     @jax.jit
-    def _engine(run_vars, level_arrays, weight_scales, images, valid_hw):
+    def _engine(run_vars, level_arrays, weight_scales, weight_packs,
+                images, valid_hw):
         x = images
         if preprocess is not None:
             x = preprocess(x)
@@ -125,6 +151,11 @@ def compile_inference(
 
             with int8_interception(act_scales=act_scales,
                                    weight_scales=weight_scales):
+                cls_o, reg_o = detector.net.apply(run_vars, x, train=False)
+        elif weight_packs is not None:
+            from .pallas_net import pallas_conv_interception
+
+            with pallas_conv_interception(weight_packs):
                 cls_o, reg_o = detector.net.apply(run_vars, x, train=False)
         else:
             cls_o, reg_o = detector.net.apply(run_vars, x, train=False)
@@ -143,7 +174,8 @@ def compile_inference(
         input_resolution = input_hw
 
         def __call__(self, images, valid_hw):
-            return _engine(run_vars, level_arrays, weight_scales, images,
+            return _engine(run_vars, level_arrays, weight_scales,
+                           weight_packs, images,
                            jnp.asarray(valid_hw, jnp.float32))
 
     return Engine()
