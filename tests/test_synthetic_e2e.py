@@ -31,7 +31,10 @@ def test_synthetic_lfdv2():
 
 @pytest.mark.slow
 def test_synthetic_lfdv2q():
-    m = run_synthetic("lfdv2q", epochs=60, threshold=0.5)
+    # 80 epochs (not 60): the threaded loader makes batch order — and so
+    # the training trajectory — load-dependent; observed 0.49 under heavy
+    # host contention at 60 epochs vs ~0.7 unloaded
+    m = run_synthetic("lfdv2q", epochs=80, threshold=0.5)
     assert m["mAP_50"] > 0.5
 
 
