@@ -7,6 +7,7 @@ from .int8_net import (
     calibrate_activation_scales,
     ActScaleObserver,
 )
+from .engine_io import save_engine, load_engine, predict_padded
 
 __all__ = [
     "compile_inference",
@@ -20,4 +21,7 @@ __all__ = [
     "int8_apply",
     "calibrate_activation_scales",
     "ActScaleObserver",
+    "save_engine",
+    "load_engine",
+    "predict_padded",
 ]

@@ -178,4 +178,17 @@ def compile_inference(
                            weight_packs, images,
                            jnp.asarray(valid_hw, jnp.float32))
 
+        def export_parts(self):
+            """(jitted fn, constant args) for engine_io.save_engine —
+            constants are the leading positional args of the program."""
+            return _engine, (run_vars, level_arrays, weight_scales,
+                             weight_packs)
+
+        def example_args(self):
+            h, w = input_hw
+            return (
+                np.zeros((batch_size, h, w, 3), np.uint8),
+                np.zeros((2,), np.float32),
+            )
+
     return Engine()

@@ -1,0 +1,114 @@
+# Engine serialization: build once, write to disk, reload without
+# retracing — the TPU-native analogue of the reference's TensorRT engine
+# files (`lfd/deployment/tensorrt/build_engine.py:141-152` serializes the
+# built engine; `predict_tensorrt.py` deserializes it at startup).
+#
+# On TPU the "engine" is the jitted end-to-end program. `save_engine`
+# AOT-exports it as versioned StableHLO bytes (jax.export) together with
+# the device-held weights/constants; `load_engine` restores a callable
+# with the same `__call__(images, valid_hw)` surface without re-tracing
+# the model (deserialization skips tracing; XLA compilation of the
+# portable StableHLO still runs once on the loading machine, like TRT's
+# engine deserialization does its own device setup).
+
+from __future__ import annotations
+
+import io
+import pickle
+import zipfile
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import export as jax_export
+
+
+_MAGIC = "lfdtpu-engine-v1"
+
+
+def _flatten_to_numpy(tree):
+    leaves, treedef = jax.tree.flatten(tree)
+    return [np.asarray(l) for l in leaves], treedef
+
+
+def save_engine(engine, path):
+    """Serialize a compiled inference engine to one file.
+
+    engine: the object returned by `compile_inference` (its closed-over
+    jitted program and device constants are extracted via the Engine
+    attributes). Writes a zip with the exported StableHLO and the
+    weight/constant arrays.
+    """
+    fn, consts = engine.export_parts()
+    # consts: tuple of pytrees that are positional args 0..k-1 of fn;
+    # the remaining args are (images, valid_hw) provided at call time.
+    const_leaves, const_def = _flatten_to_numpy(consts)
+
+    example = engine.example_args()
+    args = tuple(consts) + tuple(example)
+    exported = jax_export.export(fn)(*args)
+    blob = exported.serialize()
+
+    meta = dict(
+        magic=_MAGIC,
+        precision=engine.precision_mode,
+        input_resolution=tuple(engine.input_resolution),
+        const_treedef=const_def,
+        example_shapes=[(tuple(a.shape), str(a.dtype)) for a in example],
+    )
+    with zipfile.ZipFile(path, "w", zipfile.ZIP_STORED) as z:
+        z.writestr("meta.pkl", pickle.dumps(meta))
+        z.writestr("program.stablehlo", bytes(blob))
+        buf = io.BytesIO()
+        np.savez(buf, **{f"c{i}": l for i, l in enumerate(const_leaves)})
+        z.writestr("consts.npz", buf.getvalue())
+    return path
+
+
+class LoadedEngine:
+    """Engine restored from disk: same surface as compile_inference's."""
+
+    def __init__(self, call, precision, input_resolution):
+        self._call = call
+        self.precision_mode = precision
+        self.input_resolution = input_resolution
+
+    def __call__(self, images, valid_hw):
+        return self._call(images, jnp.asarray(valid_hw, jnp.float32))
+
+
+def predict_padded(engine, image):
+    """Run one HWC image through an engine, zero-padding to its input
+    resolution (the standard predict-through-engine-file flow used by the
+    workload `predict_engine.py --engine-file` paths)."""
+    h, w = image.shape[:2]
+    eh, ew = engine.input_resolution
+    assert h <= eh and w <= ew, (
+        f"image {h}x{w} exceeds engine resolution {eh}x{ew}")
+    padded = np.zeros((eh, ew) + image.shape[2:], image.dtype)
+    padded[:h, :w] = image
+    return engine(padded[None], np.asarray([h, w], np.float32))
+
+
+def load_engine(path):
+    """Restore an engine written by save_engine.
+
+    No model code or config is needed — the program and its constants are
+    self-contained (like deserializing a TRT engine file).
+    """
+    with zipfile.ZipFile(path) as z:
+        meta = pickle.loads(z.read("meta.pkl"))
+        assert meta["magic"] == _MAGIC, f"not an lfdtpu engine file: {path}"
+        blob = z.read("program.stablehlo")
+        npz = np.load(io.BytesIO(z.read("consts.npz")))
+        const_leaves = [npz[f"c{i}"] for i in range(len(npz.files))]
+
+    exported = jax_export.deserialize(bytearray(blob))
+    consts = jax.tree.unflatten(meta["const_treedef"], const_leaves)
+    consts = tuple(jax.device_put(c) for c in consts)
+    call_exported = jax.jit(exported.call)
+
+    def call(images, valid_hw):
+        return call_exported(*consts, images, valid_hw)
+
+    return LoadedEngine(call, meta["precision"], tuple(meta["input_resolution"]))

@@ -19,6 +19,9 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def main():
+    import time
+
+    t0 = time.time()
     model_name, precision = sys.argv[1], sys.argv[2]
     h, w = int(sys.argv[3]), int(sys.argv[4])
     loops = int(sys.argv[5]) if len(sys.argv) > 5 else 0
@@ -47,8 +50,12 @@ def main():
         det, variables, (ph, pw), precision=precision, preprocess=preprocess
     )
     images = np.random.randint(0, 255, (1, ph, pw, 3), dtype=np.uint8)
+    t_build = time.time()
     r = timing_inference(engine, images, (h, w), warmup_loops=12, timing_loops=loops if loops else None)
-    r.update(model=model_name, precision=precision, height=h, width=w)
+    r.update(
+        model=model_name, precision=precision, height=h, width=w,
+        build_s=round(t_build - t0, 1), timing_s=round(time.time() - t_build, 1),
+    )
     print("CELL_RESULT " + json.dumps(r))
 
 

@@ -51,9 +51,17 @@ def main():
     models = args.models.split(",")
     precisions = args.precisions.split(",")
     results = []
+    if os.path.exists(args.out):
+        # resume: keep completed cells, re-run errored/missing ones
+        with open(args.out) as f:
+            results = [r for r in json.load(f) if "error" not in r]
+    done = {(r["model"], r["precision"], r["height"], r["width"])
+            for r in results}
     for model in models:
         for precision in precisions:
             for (h, w) in RESOLUTIONS:
+                if (model, precision, h, w) in done:
+                    continue
                 r = run_cell(model, precision, h, w, args.loops)
                 results.append(r)
                 if "error" in r:

@@ -26,26 +26,39 @@ def predict_with_engine(
     classification_threshold=0.4,
     nms_threshold=0.5,
     out_path=None,
+    engine_file=None,
 ):
-    det = zoo.tt100k_lfd(model_size)
-    state, _ = load_checkpoint(param_file_path, strict=True)
-    variables = {"params": state["params"], "batch_stats": state.get("batch_stats", {})}
-    if precision == "int8":
-        variables = quantize_variables_int8(variables)
-
     image = cv2.imread(image_path, cv2.IMREAD_UNCHANGED)
     h, w = image.shape[:2]
-    padded = pad_to_multiple(image, max(det.point_strides))
 
-    # TT100K uses simple_normalize, no flip (`TT100K_augmentation_pipeline.py`)
-    preprocess = make_device_preprocess((0.5, 0.5, 0.5), (0.5, 0.5, 0.5))
-    engine = compile_inference(
-        det, variables, padded.shape[:2], precision=precision,
-        preprocess=preprocess,
-        classification_threshold=classification_threshold,
-        nms_threshold=nms_threshold,
-    )
-    decoded = engine(padded[None], np.asarray([h, w], np.float32))
+    if engine_file is not None and os.path.exists(engine_file):
+        # TRT engine-file workflow (`predict_tensorrt.py` deserializes
+        # *.trt): restore the serialized program without rebuilding
+        from lfdtpu.deploy.engine_io import load_engine, predict_padded
+
+        decoded = predict_padded(load_engine(engine_file), image)
+    else:
+        det = zoo.tt100k_lfd(model_size)
+        state, _ = load_checkpoint(param_file_path, strict=True)
+        variables = {"params": state["params"], "batch_stats": state.get("batch_stats", {})}
+        if precision == "int8":
+            variables = quantize_variables_int8(variables)
+
+        padded = pad_to_multiple(image, max(det.point_strides))
+
+        # TT100K uses simple_normalize, no flip (`TT100K_augmentation_pipeline.py`)
+        preprocess = make_device_preprocess((0.5, 0.5, 0.5), (0.5, 0.5, 0.5))
+        engine = compile_inference(
+            det, variables, padded.shape[:2], precision=precision,
+            preprocess=preprocess,
+            classification_threshold=classification_threshold,
+            nms_threshold=nms_threshold,
+        )
+        if engine_file is not None:
+            from lfdtpu.deploy.engine_io import save_engine
+
+            save_engine(engine, engine_file)
+        decoded = engine(padded[None], np.asarray([h, w], np.float32))
     results = detections_to_lists({k: v[0] for k, v in decoded.items()})
 
     for bbox in results:

@@ -26,15 +26,27 @@ def predict_with_engine(
     classification_threshold=0.5,
     nms_threshold=0.3,
     out_path=None,
+    engine_file=None,
 ):
+    """engine_file: when set, the built engine is serialized there on first
+    use and deserialized (no model rebuild/retrace) on later runs — the
+    TRT engine-file workflow (`predict_tensorrt.py` deserializes
+    `*.trt`); see lfdtpu.deploy.engine_io."""
+    image = cv2.imread(image_path, cv2.IMREAD_UNCHANGED)
+    h, w = image.shape[:2]
+
+    if engine_file is not None and os.path.exists(engine_file):
+        from lfdtpu.deploy.engine_io import load_engine, predict_padded
+
+        decoded = predict_padded(load_engine(engine_file), image)
+        return _draw_and_save(decoded, image, out_path)
+
     det = zoo.widerface_lfd(model_size)
     state, _ = load_checkpoint(param_file_path, strict=True)
     variables = {"params": state["params"], "batch_stats": state.get("batch_stats", {})}
     if precision == "int8":
         variables = quantize_variables_int8(variables)
 
-    image = cv2.imread(image_path, cv2.IMREAD_UNCHANGED)
-    h, w = image.shape[:2]
     divisor = max(det.point_strides)
     padded = pad_to_multiple(image, divisor)
 
@@ -45,7 +57,15 @@ def predict_with_engine(
         classification_threshold=classification_threshold,
         nms_threshold=nms_threshold,
     )
+    if engine_file is not None:
+        from lfdtpu.deploy.engine_io import save_engine
+
+        save_engine(engine, engine_file)
     decoded = engine(padded[None], np.asarray([h, w], np.float32))
+    return _draw_and_save(decoded, image, out_path)
+
+
+def _draw_and_save(decoded, image, out_path):
     single = {k: v[0] for k, v in decoded.items()}
     results = detections_to_lists(single)
 
