@@ -317,7 +317,10 @@ class LFD:
             rng_f = jnp.tile(ranges, (B, 1))
             target_xyxy = box_ops.distance2bbox(pts_f, reg_t_f)
             if self.distance_to_bbox_mode == "exp":
-                dist = jnp.exp(reg_pred_f.astype(jnp.float32))
+                # clamped: unsupervised (zero-weight) rows can drift to exp
+                # overflow, and inf areas make the IoU losses' union
+                # inf-inf=NaN, which weight*loss (NaN*0) cannot mask
+                dist = jnp.exp(jnp.minimum(reg_pred_f.astype(jnp.float32), 30.0))
             else:
                 rmax = jnp.max(rng_f, axis=-1, keepdims=True)
                 dist = jax.nn.sigmoid(reg_pred_f.astype(jnp.float32)) * rmax

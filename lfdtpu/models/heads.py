@@ -202,6 +202,8 @@ class FCOSHead(nn.Module):
             cls_outs.append(cls_final(c))
             ctr_outs.append(ctr_final(c))
             reg = Scale(1.0, name=f"scale{i}")(reg_final(r))
-            # exp applied inside the head (`fcos_head.py:147-148`); keep f32
-            reg_outs.append(jnp.exp(reg.astype(jnp.float32)))
+            # exp applied inside the head (`fcos_head.py:147-148`); keep f32;
+            # clamped so untrained/zero-weight rows cannot reach inf (inf
+            # box areas turn IoU-loss unions into NaN that weights can't mask)
+            reg_outs.append(jnp.exp(jnp.minimum(reg.astype(jnp.float32), 30.0)))
         return cls_outs, reg_outs, ctr_outs

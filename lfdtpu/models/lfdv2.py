@@ -131,7 +131,12 @@ class LFDv2Q(LFDv2):
         pos = (max_scores > 0).astype(cls_pred_f.dtype)
 
         points = jnp.tile(info["points"], (B, 1))
-        dist = jnp.exp(reg_pred_f.astype(jnp.float32))
+        # clamp before exp: reg predictions at negative points carry zero
+        # weight in BOTH loss terms, so nothing stops them drifting until
+        # exp overflows to inf — then bbox_overlaps yields inf-inf=NaN and
+        # `iou * pos` (NaN*0=NaN) poisons score_targets (the reference only
+        # gathers pos rows, `lfdv2.py:1288-1309`, so it never sees these)
+        dist = jnp.exp(jnp.minimum(reg_pred_f.astype(jnp.float32), 30.0))
         pred_xyxy = box_ops.distance2bbox(points, dist)
         target_xyxy = box_ops.distance2bbox(points, reg_t_f)
 

@@ -55,7 +55,9 @@ class DecodeSpec:
 def _decode_distances(reg, points, ranges, mode):
     """Distance head -> (l, t, r, b) in pixels (`lfd.py:604-625`)."""
     if mode == "exp":
-        return jnp.exp(reg.astype(jnp.float32))
+        # clamped: inf distances (possible from untrained weights) would
+        # produce NaN IoUs inside NMS; e^30 px is far beyond any image
+        return jnp.exp(jnp.minimum(reg.astype(jnp.float32), 30.0))
     if mode == "sigmoid":
         range_max = jnp.max(ranges, axis=-1, keepdims=True)
         return jax.nn.sigmoid(reg.astype(jnp.float32)) * range_max

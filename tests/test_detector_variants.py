@@ -154,3 +154,54 @@ def test_grouped_sgd_bias_groups():
     np.testing.assert_allclose(np.asarray(updates["Conv_0"]["bias"]), -0.2)
     np.testing.assert_allclose(np.asarray(updates["Conv_0"]["kernel"]), -0.1)
     np.testing.assert_allclose(np.asarray(updates["BatchNorm_0"]["bias"]), -0.1)
+
+
+def test_extreme_reg_logits_finite_loss_and_grad(rng):
+    """Regression test: exp-mode decode must clamp before exp.
+
+    Reg predictions at negative points carry zero weight in both loss
+    terms, so training can drift them arbitrarily high; unclamped
+    exp -> inf box coords -> IoU union inf-inf=NaN, and NaN*0 weight
+    poisons the loss/grads (observed as a grad_norm NaN at epoch 12 of
+    the lfdv2q synthetic run). The reference's pos-row gather
+    (`lfdv2.py:1288-1309`) never evaluates those rows; the vectorized
+    TPU formulation does, so it must be robust to them.
+    """
+    from lfdtpu.models import LFD
+
+    _, gt, labels, mask = _batch(np.random.RandomState(0), C=2)
+
+    def check(det):
+        info = det.level_arrays((64, 64))
+        n = info["points"].shape[0]
+        cls_pred = jnp.full((2, n, 2), -5.0, jnp.float32)
+        # +200 logits: e^200 overflows f32 without the clamp
+        reg_pred = jnp.full((2, n, 4), 200.0, jnp.float32)
+
+        def loss_fn(cls_p, reg_p):
+            return det.get_loss(
+                (cls_p, reg_p), jnp.asarray(gt), jnp.asarray(labels),
+                jnp.asarray(mask), (64, 64),
+            )["loss"]
+
+        loss, grads = jax.jit(jax.value_and_grad(loss_fn, argnums=(0, 1)))(
+            cls_pred, reg_pred
+        )
+        assert np.isfinite(float(loss)), det.detector_name
+        for g in grads:
+            assert np.isfinite(np.asarray(g)).all(), det.detector_name
+
+    bb, neck, head = _tiny_parts(2, "QualityFocalLoss", "IoULoss")
+    check(LFDv2Q(backbone=bb, neck=neck, head=head, num_classes=2,
+                 regression_ranges=((0, 32), (32, 64)),
+                 point_strides=tuple(bb.num_output_strides_list),
+                 classification_loss_func=QualityFocalLoss(),
+                 regression_loss_func=IoULoss()))
+
+    bb, neck, head = _tiny_parts(2, "FocalLoss", "GIoULoss")
+    check(LFD(backbone=bb, neck=neck, head=head, num_classes=2,
+              regression_ranges=((0, 32), (32, 64)),
+              point_strides=tuple(bb.num_output_strides_list),
+              classification_loss_func=FocalLoss(),
+              regression_loss_func=GIoULoss(),
+              distance_to_bbox_mode="exp"))
