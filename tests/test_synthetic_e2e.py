@@ -33,8 +33,14 @@ def test_synthetic_lfdv2():
 def test_synthetic_lfdv2q():
     # 80 epochs (not 60): the threaded loader makes batch order — and so
     # the training trajectory — load-dependent; observed 0.49 under heavy
-    # host contention at 60 epochs vs ~0.7 unloaded
-    m = run_synthetic("lfdv2q", epochs=80, threshold=0.5)
+    # host contention at 60 epochs vs ~0.7 unloaded.
+    # lr 0.025 + whole-run clipping: the QFL/IoU coupling has a mutual-
+    # starvation fixed point (reg weights = cls scores, cls targets = IoU;
+    # both ~0 is self-sustaining) that an early lr-0.05 gradient spike can
+    # knock the run into — the reference's LFDv2_ has the same coupling
+    # (`lfdv2.py:1296-1318`), this is inherent to the loss, not the port
+    m = run_synthetic("lfdv2q", epochs=80, threshold=0.5, base_lr=0.025,
+                      clip_whole_run=True)
     assert m["mAP_50"] > 0.5
 
 

@@ -186,7 +186,8 @@ def per_bucket_recall(det, variables, val_samples, buckets,
 
 
 def run_synthetic(family="lfd", multiscale=False, epochs=60, threshold=0.5,
-                  recall_threshold=0.6, seed=0):
+                  recall_threshold=0.6, seed=0, base_lr=0.05,
+                  clip_whole_run=False):
     from lfdtpu.data import (
         Compose, DataLoader, IdleRegionSampler, RandomBBoxCropRegionSampler,
         RandomBBoxCropWithRangeSelectionRegionSampler, RandomDatasetSampler,
@@ -241,10 +242,12 @@ def run_synthetic(family="lfd", multiscale=False, epochs=60, threshold=0.5,
         seed=0, batch_size=16, input_hw=(size, size),
         model=det, optimizer=SGD(momentum=0.9, weight_decay=1e-4),
         lr_schedule=MultiStepLRSchedule(
-            base_lr=0.05, milestones=(int(epochs * 0.7),), gamma=0.1,
+            base_lr=base_lr, milestones=(int(epochs * 0.7),), gamma=0.1,
             warmup=WarmupSetting(warmup_mode="linear", warmup_loops=40, warmup_ratio=0.1),
         ),
-        optimizer_grad_clip_cfg=dict(max_norm=10, duration=3),
+        optimizer_grad_clip_cfg=dict(
+            max_norm=10, duration=epochs * 4 if clip_whole_run else 3
+        ),
         train_data_loader=train_loader, val_data_loader=val_loader,
         evaluator=evaluator,
     )
