@@ -121,6 +121,40 @@ _PROC_SRC = textwrap.dedent(
     # sum of ALL 8 dataset indexes exactly once (disjointness proof)
     total = jax.jit(lambda x: x.sum())(garr)
     assert float(total) == float(sum(range(8))), float(total)
+
+    # REAL distributed training step: both hosts build the identical
+    # deterministic global batch, feed only their local slice, and the
+    # jitted DP step all-reduces gradients across processes (gloo). The
+    # parent test asserts the loss/param-norm equal a single-process run.
+    import jax.numpy as jnp
+    from lfdtpu.execution.optim import SGD
+    from lfdtpu.parallel import make_train_step
+    from lfdtpu.parallel.data_parallel import create_train_state
+    from tests.test_detector import tiny_lfd
+
+    rng = np.random.RandomState(7)
+    images = rng.rand(8, 64, 64, 3).astype(np.float32)
+    gt = np.zeros((8, 4, 4), np.float32); gt[:, 0] = [8, 8, 24, 24]
+    labels = np.zeros((8, 4), np.int32)
+    mask = np.zeros((8, 4), bool); mask[:, 0] = True
+
+    lo, hi = local_batch_slice(8)
+    gim, ggt, glb, gmk = global_batch_from_local(
+        mesh, (images[lo:hi], gt[lo:hi], labels[lo:hi], mask[lo:hi])
+    )
+
+    det = tiny_lfd()
+    opt = SGD(momentum=0.9, weight_decay=1e-4)
+    state = create_train_state(det, opt, jax.random.PRNGKey(0), (64, 64))
+    step = make_train_step(det, opt, (64, 64), mesh=mesh,
+                           clip_max_norm=10.0, donate=False)
+    new_state, metrics = step(state, gim, ggt, glb, gmk,
+                              jnp.float32(0.01), jnp.bool_(True))
+    from lfdtpu.parallel.data_parallel import global_norm
+    pnorm = jax.jit(global_norm)(new_state.params)
+    print("HOST", pid, "LOSS", f"{{float(metrics['loss']):.6f}}",
+          "PNORM", f"{{float(pnorm):.6f}}", flush=True)
+
     print("HOST", pid, "OK", flush=True)
     jax.distributed.shutdown()
     """
@@ -161,3 +195,41 @@ def test_two_process_cpu_cluster_global_batch(tmp_path):
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"host {i} failed:\n{out[-3000:]}"
         assert f"HOST {i} OK" in out
+
+    # the distributed train step must equal a single-process run on the
+    # same global batch (cross-process grad all-reduce correctness)
+    def parse(out, i):
+        row = next(l for l in out.splitlines() if l.startswith(f"HOST {i} LOSS"))
+        parts = row.split()
+        return float(parts[3]), float(parts[5])
+
+    loss0, pnorm0 = parse(outs[0], 0)
+    loss1, pnorm1 = parse(outs[1], 1)
+    assert loss0 == loss1 and pnorm0 == pnorm1, (loss0, loss1, pnorm0, pnorm1)
+
+    import jax
+    import jax.numpy as jnp
+
+    from lfdtpu.execution.optim import SGD
+    from lfdtpu.parallel import make_train_step
+    from lfdtpu.parallel.data_parallel import create_train_state, global_norm
+    from tests.test_detector import tiny_lfd
+
+    rng = np.random.RandomState(7)
+    images = rng.rand(8, 64, 64, 3).astype(np.float32)
+    gt = np.zeros((8, 4, 4), np.float32); gt[:, 0] = [8, 8, 24, 24]
+    labels = np.zeros((8, 4), np.int32)
+    mask = np.zeros((8, 4), bool); mask[:, 0] = True
+
+    det = tiny_lfd()
+    opt = SGD(momentum=0.9, weight_decay=1e-4)
+    state = create_train_state(det, opt, jax.random.PRNGKey(0), (64, 64))
+    step = make_train_step(det, opt, (64, 64), mesh=None,
+                           clip_max_norm=10.0, donate=False)
+    new_state, metrics = step(state, jnp.asarray(images), jnp.asarray(gt),
+                              jnp.asarray(labels), jnp.asarray(mask),
+                              jnp.float32(0.01), jnp.bool_(True))
+    ref_loss = float(metrics["loss"])
+    ref_pnorm = float(jax.jit(global_norm)(new_state.params))
+    np.testing.assert_allclose(loss0, ref_loss, rtol=1e-4)
+    np.testing.assert_allclose(pnorm0, ref_pnorm, rtol=1e-4)
