@@ -32,3 +32,49 @@ def test_engine_save_load_roundtrip(tmp_path):
         a, b = np.asarray(ref[k]), np.asarray(got[k])
         assert a.shape == b.shape, k
         np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5, err_msg=k)
+
+
+def test_engine_loads_in_fresh_process(tmp_path):
+    """Deserialization must work in a process that never builds the model
+    (the reference's predict_tensorrt.py workflow: ship the engine file)."""
+    import os
+    import subprocess
+    import sys
+    import textwrap
+
+    det = ZOO["WIDERFACE-XS"]()
+    variables = det.init(jax.random.PRNGKey(0), input_hw=(64, 64), train=False)
+    engine = compile_inference(det, variables, (64, 64), precision="fp32",
+                               preprocess=make_device_preprocess(
+                                   (0.5, 0.5, 0.5), (0.5, 0.5, 0.5)))
+    img = np.random.RandomState(0).randint(0, 255, (1, 64, 64, 3), dtype=np.uint8)
+    ref = engine(img, (60, 64))
+    path = tmp_path / "xs.lfde"
+    save_engine(engine, str(path))
+
+    repo = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
+    src = textwrap.dedent(f"""
+        import sys
+        import numpy as np
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        sys.path.insert(0, {repo!r})
+        from lfdtpu.deploy.engine_io import load_engine
+        eng = load_engine({str(path)!r})
+        img = np.random.RandomState(0).randint(0, 255, (1, 64, 64, 3), dtype=np.uint8)
+        out = eng(img, (60, 64))
+        print("COUNT", int(np.asarray(out["count"])[0]))
+        print("SUM", float(np.abs(np.asarray(out["boxes"])).sum()))
+    """)
+    script = tmp_path / "load_only.py"
+    script.write_text(src)
+    env = {k: v for k, v in os.environ.items() if k != "JAX_PLATFORMS"}
+    out = subprocess.run([sys.executable, str(script)], env=env,
+                         capture_output=True, text=True, timeout=300)
+    assert out.returncode == 0, out.stderr[-3000:]
+    lines = dict(l.split(" ", 1) for l in out.stdout.splitlines() if " " in l)
+    assert int(lines["COUNT"]) == int(np.asarray(ref["count"])[0])
+    np.testing.assert_allclose(
+        float(lines["SUM"]), float(np.abs(np.asarray(ref["boxes"])).sum()),
+        rtol=1e-4,
+    )
