@@ -247,3 +247,43 @@ def load_reference_checkpoint(pth_path, detector, variables):
     state_dict = ckpt.get("state_dict", ckpt) if isinstance(ckpt, dict) else ckpt
     state_dict = {k: v.numpy() for k, v in state_dict.items()}
     return convert_reference_state_dict(state_dict, detector, variables)
+
+
+def convert_torchvision_resnet(state_dict, variables):
+    """Convert a torchvision/mmdet-style ResNet state_dict (conv1/bn1 +
+    layer{s}.{j}.conv{k}/bn{k}/downsample) into flax `models.ResNet`
+    variables — the reference's ImageNet-pretrained backbone flow
+    (`resnet.py:314-340` loads exactly these checkpoints). Classifier
+    (`fc.*`) keys are ignored. Deep-stem checkpoints are not supported."""
+    state_dict = _strip_module_prefix(
+        {k: np.asarray(v) for k, v in state_dict.items() if not k.startswith("fc.")}
+    )
+    groups = _group_params(state_dict)
+    w = _Writer(variables)
+
+    assert "conv1" in groups and "stem.0" not in groups, (
+        "expected a non-deep-stem checkpoint with conv1/bn1"
+    )
+    w.conv(groups, "conv1", ("stem0",))
+    w.norm(groups, "bn1", ("stem0",))
+
+    blk = re.compile(r"layer(\d+)\.(\d+)\.conv1$")
+    blocks = sorted(
+        {(int(m.group(1)), int(m.group(2))) for p in groups if (m := blk.match(p))}
+    )
+    for s, j in blocks:
+        tprefix = f"layer{s}.{j}"
+        fparts = (f"stage{s}_block{j}",)
+        k = 1
+        while f"{tprefix}.conv{k}" in groups:
+            w.conv_norm(groups, f"{tprefix}.conv{k}", f"{tprefix}.bn{k}",
+                        fparts + (f"ConvNormAct_{k - 1}",))
+            k += 1
+        if f"{tprefix}.downsample.0" in groups:
+            # downsample is the (k-1)-th ConvNormAct after the main convs
+            w.conv_norm(groups, f"{tprefix}.downsample.0", f"{tprefix}.downsample.1",
+                        fparts + (f"ConvNormAct_{k - 1}",))
+
+    leftover = sorted(set(groups) - w.consumed)
+    assert not leftover, f"unconverted resnet modules: {leftover[:8]}"
+    return {"params": w.params, "batch_stats": w.batch_stats}
