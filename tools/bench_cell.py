@@ -45,7 +45,14 @@ def main():
     divisor = max(det.point_strides)
     ph = (h + divisor - 1) // divisor * divisor
     pw = (w + divisor - 1) // divisor * divisor
-    preprocess = make_device_preprocess((0.5, 0.5, 0.5), (0.5, 0.5, 0.5))
+    if model_name.startswith("TL-"):
+        # TrafficLight: imagenet stats + BGR2RGB (`TL_augmentation_pipeline.py`)
+        preprocess = make_device_preprocess(
+            (0.485, 0.456, 0.406), (0.229, 0.224, 0.225), bgr2rgb=True
+        )
+    else:
+        # WIDERFACE / TT100K: simple 0.5/0.5 normalize
+        preprocess = make_device_preprocess((0.5, 0.5, 0.5), (0.5, 0.5, 0.5))
     engine = compile_inference(
         det, variables, (ph, pw), precision=precision, preprocess=preprocess
     )

@@ -46,8 +46,14 @@ def main():
     ap.add_argument("--precisions", default=",".join(PRECISIONS))
     ap.add_argument("--loops", type=int, default=100)
     ap.add_argument("--out", default=os.path.join(HERE, "..", "bench_sweep_results.json"))
+    ap.add_argument("--resolutions", default=None,
+                    help="comma list of HxW, e.g. 720x1280,1080x1920")
     args = ap.parse_args()
 
+    global RESOLUTIONS
+    if args.resolutions:
+        RESOLUTIONS = [tuple(int(v) for v in r.split("x"))
+                       for r in args.resolutions.split(",")]
     models = args.models.split(",")
     precisions = args.precisions.split(",")
     results = []
