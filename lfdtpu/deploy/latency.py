@@ -77,17 +77,29 @@ def timing_inference(engine, images, valid_hw, warmup_loops=10, timing_loops=Non
         est = max((time.perf_counter() - t0) / 10, 1e-4)
         K = int(np.clip(segment_target_s / est, 20, 200))
     else:
-        K = max(timing_loops // segments, 1)
+        # each slope segment consumes 3K calls (K + 2K)
+        K = max(timing_loops // (segments * 3), 20)
+
+    # slope estimator: each segment is timed at depth K and depth 2K; the
+    # per-call time is (t_2K - t_K) / K, which cancels ANY fixed
+    # per-segment cost — in particular the ~30 ms own-output fetch that a
+    # plain wall/K estimate adds as a +30/K ms per-call bias (measured:
+    # K=30 inflated every cell by ~1.0 ms vs the dependent-chain oracle)
+    def timed_run(depth, n0):
+        t0 = time.perf_counter()
+        for i in range(depth):
+            out = engine(variants[(n0 + i) % len(variants)], valid_hw)
+        _sync(out)
+        return time.perf_counter() - t0
 
     seg_ms = []
     n = 0
     for _ in range(segments):
-        t0 = time.perf_counter()
-        for i in range(K):
-            out = engine(variants[(n + i) % len(variants)], valid_hw)
-        _sync(out)
-        seg_ms.append((time.perf_counter() - t0) / K * 1000.0 / batch)
+        t1 = timed_run(K, n)
         n += K
+        t2 = timed_run(2 * K, n)
+        n += 2 * K
+        seg_ms.append((t2 - t1) / K * 1000.0 / batch)
     seg_ms = np.asarray(seg_ms)
     med = float(np.median(seg_ms))
     return dict(
@@ -98,9 +110,10 @@ def timing_inference(engine, images, valid_hw, warmup_loops=10, timing_loops=Non
         ms_p25=float(np.percentile(seg_ms, 25)),
         ms_p75=float(np.percentile(seg_ms, 75)),
         ms_p95=float(np.percentile(seg_ms, 95)),
-        loops=int(K * segments),
+        loops=int(3 * K * segments),
         segments=int(segments),
         calls_per_segment=int(K),
+        method="slope",
     )
 
 

@@ -58,7 +58,10 @@ def main():
     )
     images = np.random.randint(0, 255, (1, ph, pw, 3), dtype=np.uint8)
     t_build = time.time()
-    r = timing_inference(engine, images, (h, w), warmup_loops=12, timing_loops=loops if loops else None)
+    distinct = int(os.environ.get("LFD_BENCH_VARIANTS", "8"))
+    r = timing_inference(engine, images, (h, w), warmup_loops=12,
+                         timing_loops=loops if loops else None,
+                         distinct_inputs=distinct)
     r.update(
         model=model_name, precision=precision, height=h, width=w,
         build_s=round(t_build - t0, 1), timing_s=round(time.time() - t_build, 1),

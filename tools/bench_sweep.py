@@ -22,7 +22,7 @@ PRECISIONS = ["fp32", "bf16", "int8"]
 RESOLUTIONS = [(480, 640), (720, 1280), (1080, 1920), (2160, 3840)]
 
 
-def run_cell(model, precision, h, w, loops, timeout=900):
+def run_cell(model, precision, h, w, loops, timeout=2400):
     cmd = [sys.executable, os.path.join(HERE, "bench_cell.py"),
            model, precision, str(h), str(w), str(loops)]
     try:
