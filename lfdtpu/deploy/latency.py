@@ -125,7 +125,7 @@ def inference_latency_evaluation(
     preprocess=None,
     batch_size=1,
     warmup_loops=10,
-    timing_loops=50,
+    timing_loops=300,
     size_divisor=None,
     verbose=True,
 ):

@@ -14,10 +14,9 @@ def render(results):
     for r in results:
         if r["model"] not in models:
             models.append(r["model"])
-    precisions = []
-    for r in results:
-        if r["precision"] not in precisions:
-            precisions.append(r["precision"])
+    order = {"fp32": 0, "bf16": 1, "int8": 2}
+    precisions = sorted({r["precision"] for r in results},
+                        key=lambda p: order.get(p, 9))
     resolutions = sorted({(r["height"], r["width"]) for r in results})
 
     by_key = {(r["model"], r["precision"], r["height"], r["width"]): r
