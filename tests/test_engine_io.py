@@ -78,3 +78,27 @@ def test_engine_loads_in_fresh_process(tmp_path):
         float(lines["SUM"]), float(np.abs(np.asarray(ref["boxes"])).sum()),
         rtol=1e-4,
     )
+
+
+def test_int8_engine_save_load_roundtrip(tmp_path):
+    """int8 engines carry extra device constants (per-channel weight
+    scales, pre-quantized int8 kernels) — serialization must cover them."""
+    from lfdtpu.deploy import quantize_variables_int8
+
+    det = ZOO["WIDERFACE-XS"]()
+    variables = det.init(jax.random.PRNGKey(0), input_hw=(64, 64), train=False)
+    variables = quantize_variables_int8(variables)
+    engine = compile_inference(det, variables, (64, 64), precision="int8",
+                               preprocess=make_device_preprocess(
+                                   (0.5, 0.5, 0.5), (0.5, 0.5, 0.5)))
+    img = np.random.RandomState(1).randint(0, 255, (1, 64, 64, 3), dtype=np.uint8)
+    ref = engine(img, (64, 64))
+
+    path = tmp_path / "xs_int8.lfde"
+    save_engine(engine, str(path))
+    got = load_engine(str(path))(img, (64, 64))
+    for k in ref:
+        np.testing.assert_allclose(
+            np.asarray(ref[k]), np.asarray(got[k]), rtol=1e-5, atol=1e-5,
+            err_msg=k,
+        )
