@@ -31,6 +31,20 @@ def _flatten_to_numpy(tree):
     return [np.asarray(l) for l in leaves], treedef
 
 
+# np.savez round-trips ml_dtypes arrays (bfloat16 etc.) as raw void
+# dtypes; store them bit-cast to uint16 with a dtype tag instead.
+def _savable(arr):
+    if arr.dtype == jnp.bfloat16:
+        return arr.view(np.uint16), "bfloat16"
+    return arr, str(arr.dtype)
+
+
+def _restore(arr, dtype_tag):
+    if dtype_tag == "bfloat16":
+        return arr.view(jnp.bfloat16)
+    return arr
+
+
 def save_engine(engine, path):
     """Serialize a compiled inference engine to one file.
 
@@ -49,18 +63,20 @@ def save_engine(engine, path):
     exported = jax_export.export(fn)(*args)
     blob = exported.serialize()
 
+    stored = [_savable(l) for l in const_leaves]
     meta = dict(
         magic=_MAGIC,
         precision=engine.precision_mode,
         input_resolution=tuple(engine.input_resolution),
         const_treedef=const_def,
+        const_dtypes=[tag for _, tag in stored],
         example_shapes=[(tuple(a.shape), str(a.dtype)) for a in example],
     )
     with zipfile.ZipFile(path, "w", zipfile.ZIP_STORED) as z:
         z.writestr("meta.pkl", pickle.dumps(meta))
         z.writestr("program.stablehlo", bytes(blob))
         buf = io.BytesIO()
-        np.savez(buf, **{f"c{i}": l for i, l in enumerate(const_leaves)})
+        np.savez(buf, **{f"c{i}": a for i, (a, _) in enumerate(stored)})
         z.writestr("consts.npz", buf.getvalue())
     return path
 
@@ -101,7 +117,10 @@ def load_engine(path):
         assert meta["magic"] == _MAGIC, f"not an lfdtpu engine file: {path}"
         blob = z.read("program.stablehlo")
         npz = np.load(io.BytesIO(z.read("consts.npz")))
-        const_leaves = [npz[f"c{i}"] for i in range(len(npz.files))]
+        tags = meta.get("const_dtypes") or [None] * len(npz.files)
+        const_leaves = [
+            _restore(npz[f"c{i}"], tags[i]) for i in range(len(npz.files))
+        ]
 
     exported = jax_export.deserialize(bytearray(blob))
     consts = jax.tree.unflatten(meta["const_treedef"], const_leaves)

@@ -153,3 +153,48 @@ def test_tt100k_workload_script_runs(tmp_path):
         shutil.rmtree(d, ignore_errors=True)
     assert result.returncode == 0, result.stderr[-3000:]
     assert "Training finishes." in result.stderr + result.stdout
+
+
+def test_widerface_predict_engine_file_workflow(tmp_path):
+    """The TRT engine-file UX through the workload script: first call
+    builds + serializes, second call deserializes (no model build) and
+    must return identical detections."""
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(__file__), "..", "workloads", "WIDERFACE_train")
+    )
+    try:
+        import jax
+
+        from lfdtpu import zoo
+        from lfdtpu.execution import save_checkpoint
+        import cv2
+        import predict_engine as wf_pe
+
+        det = zoo.widerface_lfd("XS")
+        variables = det.init(jax.random.PRNGKey(0), (128, 128))
+        ckpt = tmp_path / "wf.ckpt"
+        save_checkpoint(
+            str(ckpt),
+            {"params": variables["params"],
+             "batch_stats": variables.get("batch_stats", {})},
+        )
+        img = tmp_path / "img.jpg"
+        rng = np.random.RandomState(0)
+        cv2.imwrite(str(img), (rng.rand(100, 120, 3) * 255).astype(np.uint8))
+        eng = tmp_path / "wf.lfde"
+
+        r1 = wf_pe.predict_with_engine(
+            "XS", str(ckpt), str(img), classification_threshold=0.05,
+            out_path=str(tmp_path / "o1.jpg"), engine_file=str(eng),
+        )
+        assert eng.exists()
+        r2 = wf_pe.predict_with_engine(
+            "XS", "/nonexistent.ckpt",  # must not be touched on the load path
+            str(img), classification_threshold=0.05,
+            out_path=str(tmp_path / "o2.jpg"), engine_file=str(eng),
+        )
+        assert len(r1) == len(r2)
+        for a, b in zip(r1, r2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3)
+    finally:
+        sys.path.pop(0)
