@@ -261,11 +261,15 @@ def convert_torchvision_resnet(state_dict, variables):
     groups = _group_params(state_dict)
     w = _Writer(variables)
 
-    assert "conv1" in groups and "stem.0" not in groups, (
-        "expected a non-deep-stem checkpoint with conv1/bn1"
-    )
-    w.conv(groups, "conv1", ("stem0",))
-    w.norm(groups, "bn1", ("stem0",))
+    if "stem.0" in groups:  # deep stem: three 3x3 conv+norm pairs
+        for n, (conv_path, norm_path) in enumerate(
+            _seq_conv_norm_pairs(groups, "stem")
+        ):
+            w.conv_norm(groups, conv_path, norm_path, (f"stem{n}",))
+    else:
+        assert "conv1" in groups, "expected conv1/bn1 or a deep stem"
+        w.conv(groups, "conv1", ("stem0",))
+        w.norm(groups, "bn1", ("stem0",))
 
     blk = re.compile(r"layer(\d+)\.(\d+)\.conv1$")
     blocks = sorted(

@@ -136,3 +136,46 @@ def test_convert_torchvision_resnet18():
     for a, b in zip(outs_f, outs_t):
         bt = b.permute(0, 2, 3, 1).numpy()
         np.testing.assert_allclose(np.asarray(a), bt, rtol=1e-3, atol=2e-4)
+
+
+def test_convert_deep_stem_resnet50():
+    """mmdet-style deep-stem checkpoints (stem.{i} Sequential) convert via
+    the same path; Bottleneck downsample mapping also exercised."""
+    torch = pytest.importorskip("torch")
+    import importlib.util
+    import sys
+
+    import jax
+    import jax.numpy as jnp
+
+    from lfdtpu.execution.torch_convert import convert_torchvision_resnet
+    from lfdtpu.models import ResNet
+
+    spec = importlib.util.spec_from_file_location(
+        "ref_resnet_ds", os.path.join(REF, "lfd/model/backbone/resnet.py"))
+    rr = importlib.util.module_from_spec(spec)
+    sys.modules["ref_resnet_ds"] = rr
+    spec.loader.exec_module(rr)
+
+    trn = rr.ResNet(depth=50, deep_stem=True)
+    with torch.no_grad():
+        for m in trn.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.uniform_(-0.5, 0.5)
+                m.running_var.uniform_(0.5, 1.5)
+
+    frn = ResNet(depth=50, deep_stem=True, norm_cfg=dict(type="BN"))
+    x = np.random.RandomState(0).rand(1, 64, 64, 3).astype(np.float32)
+    v = frn.init(jax.random.PRNGKey(0), jnp.asarray(x))
+
+    sd = {k: t.numpy() for k, t in trn.state_dict().items()}
+    converted = convert_torchvision_resnet(sd, v)
+    outs_f = frn.apply(converted, jnp.asarray(x), train=False)
+
+    trn.eval()
+    with torch.no_grad():
+        tx = torch.from_numpy(np.transpose(x, (0, 3, 1, 2)).copy())
+        outs_t = trn(tx)
+    for a, b in zip(outs_f, outs_t):
+        np.testing.assert_allclose(
+            np.asarray(a), b.permute(0, 2, 3, 1).numpy(), rtol=1e-3, atol=3e-4)
