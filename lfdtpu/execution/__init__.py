@@ -18,6 +18,11 @@ from .schedules import (
     ConstantLRSchedule,
     CosineLRSchedule,
 )
+from .torch_convert import (
+    convert_reference_state_dict,
+    convert_torchvision_resnet,
+    load_reference_checkpoint,
+)
 from .utils import (
     AverageMeter,
     get_root_logger,
@@ -38,4 +43,6 @@ __all__ = [
     "AverageMeter", "get_root_logger", "collect_envs",
     "customize_exception_hook", "set_random_seed",
     "save_checkpoint", "load_checkpoint",
+    "convert_reference_state_dict", "convert_torchvision_resnet",
+    "load_reference_checkpoint",
 ]
