@@ -14,7 +14,7 @@
 from __future__ import annotations
 
 import io
-import pickle
+import json
 import zipfile
 
 import jax
@@ -23,12 +23,37 @@ import numpy as np
 from jax import export as jax_export
 
 
-_MAGIC = "lfdtpu-engine-v1"
+_MAGIC = "lfdtpu-engine-v2"
 
 
-def _flatten_to_numpy(tree):
-    leaves, treedef = jax.tree.flatten(tree)
-    return [np.asarray(l) for l in leaves], treedef
+# The file format is pickle-free: meta is JSON and the consts pytree
+# structure is a small recursive descriptor (dict/tuple/list/None/leaf)
+# rebuilt structurally at load — loading an engine file never executes
+# code from it (the TRT engine files being mimicked are not pickle-based
+# either).
+def _encode_struct(obj, leaves):
+    if obj is None:
+        return ["none"]
+    if isinstance(obj, dict):
+        return ["dict", [[str(k), _encode_struct(v, leaves)] for k, v in obj.items()]]
+    if isinstance(obj, (tuple, list)):
+        tag = "tuple" if isinstance(obj, tuple) else "list"
+        return [tag, [_encode_struct(v, leaves) for v in obj]]
+    leaves.append(np.asarray(obj))
+    return ["leaf", len(leaves) - 1]
+
+
+def _decode_struct(desc, leaves):
+    tag = desc[0]
+    if tag == "none":
+        return None
+    if tag == "dict":
+        return {k: _decode_struct(v, leaves) for k, v in desc[1]}
+    if tag == "tuple":
+        return tuple(_decode_struct(v, leaves) for v in desc[1])
+    if tag == "list":
+        return [_decode_struct(v, leaves) for v in desc[1]]
+    return leaves[desc[1]]
 
 
 # np.savez round-trips ml_dtypes arrays (bfloat16 etc.) as raw void
@@ -56,7 +81,9 @@ def save_engine(engine, path):
     fn, consts = engine.export_parts()
     # consts: tuple of pytrees that are positional args 0..k-1 of fn;
     # the remaining args are (images, valid_hw) provided at call time.
-    const_leaves, const_def = _flatten_to_numpy(consts)
+    const_leaves = []
+    const_desc = _encode_struct(tuple(jax.device_get(c) for c in consts),
+                                const_leaves)
 
     example = engine.example_args()
     args = tuple(consts) + tuple(example)
@@ -67,13 +94,13 @@ def save_engine(engine, path):
     meta = dict(
         magic=_MAGIC,
         precision=engine.precision_mode,
-        input_resolution=tuple(engine.input_resolution),
-        const_treedef=const_def,
+        input_resolution=list(engine.input_resolution),
+        const_struct=const_desc,
         const_dtypes=[tag for _, tag in stored],
-        example_shapes=[(tuple(a.shape), str(a.dtype)) for a in example],
+        example_shapes=[[list(a.shape), str(a.dtype)] for a in example],
     )
     with zipfile.ZipFile(path, "w", zipfile.ZIP_STORED) as z:
-        z.writestr("meta.pkl", pickle.dumps(meta))
+        z.writestr("meta.json", json.dumps(meta))
         z.writestr("program.stablehlo", bytes(blob))
         buf = io.BytesIO()
         np.savez(buf, **{f"c{i}": a for i, (a, _) in enumerate(stored)})
@@ -113,7 +140,7 @@ def load_engine(path):
     self-contained (like deserializing a TRT engine file).
     """
     with zipfile.ZipFile(path) as z:
-        meta = pickle.loads(z.read("meta.pkl"))
+        meta = json.loads(z.read("meta.json"))
         assert meta["magic"] == _MAGIC, f"not an lfdtpu engine file: {path}"
         blob = z.read("program.stablehlo")
         npz = np.load(io.BytesIO(z.read("consts.npz")))
@@ -123,7 +150,7 @@ def load_engine(path):
         ]
 
     exported = jax_export.deserialize(bytearray(blob))
-    consts = jax.tree.unflatten(meta["const_treedef"], const_leaves)
+    consts = _decode_struct(meta["const_struct"], const_leaves)
     consts = tuple(jax.device_put(c) for c in consts)
     call_exported = jax.jit(exported.call)
 

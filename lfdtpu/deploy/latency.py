@@ -42,9 +42,12 @@ def timing_inference(engine, images, valid_hw, warmup_loops=10, timing_loops=Non
         axon tunnel it returns at enqueue): each timed SEGMENT enqueues K
         calls and then fetches the LAST output's count (own-output D2H =
         true completion of everything enqueued before it, in order);
-      - per-image time = segment wall time / K; the one fetch per segment
-        adds a documented upward bias of ~30ms/K (<3% at K>=100);
-      - the reported number is the MEDIAN over segments with IQR;
+      - per-image time is a TWO-DEPTH SLOPE: each segment is timed at
+        enqueue depth K and depth 2K and the per-call time is
+        (t_2K - t_K)/K, which cancels ANY fixed per-segment cost — in
+        particular the ~30 ms own-output fetch barrier, which a plain
+        wall/K estimate would add as a +30/K ms per-call bias;
+      - the reported number is the MEDIAN over segment slopes with IQR;
       - warmup excludes compile + first-upload, like the reference's
         `timing_engine` (`inference_latency_evaluation.py:43-66`).
 

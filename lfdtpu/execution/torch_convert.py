@@ -22,6 +22,36 @@ import re
 import numpy as np
 
 
+def _iter_leaf_paths(tree, prefix=()):
+    for k, v in tree.items():
+        if isinstance(v, dict):
+            yield from _iter_leaf_paths(v, prefix + (k,))
+        else:
+            yield prefix + (k,)
+
+
+def _assert_target_filled(w):
+    """Completeness in BOTH directions: beyond the leftover-torch-keys
+    check, every leaf of the target tree must have been written. Catches a
+    same-channel-width but SMALLER checkpoint (e.g. WIDERFACE-M into an L
+    model) that would otherwise convert cleanly and leave extra blocks at
+    random init."""
+    missing = [
+        "params/" + "/".join(p)
+        for p in _iter_leaf_paths(w.params)
+        if ("params",) + p not in w.written
+    ]
+    missing += [
+        "stats/" + "/".join(p)
+        for p in _iter_leaf_paths(w.batch_stats)
+        if ("stats",) + p not in w.written
+    ]
+    assert not missing, (
+        f"checkpoint does not cover the target model: {len(missing)} "
+        f"unfilled leaves, e.g. {missing[:8]}"
+    )
+
+
 def _strip_module_prefix(state_dict):
     if state_dict and next(iter(state_dict)).startswith("module."):
         return {k[len("module."):]: v for k, v in state_dict.items()}
@@ -234,16 +264,20 @@ def convert_reference_state_dict(state_dict, detector, variables):
 
     leftover = sorted(set(groups) - w.consumed)
     assert not leftover, f"unconverted reference modules: {leftover[:8]}"
+    _assert_target_filled(w)
     return {"params": w.params, "batch_stats": w.batch_stats}
 
 
-def load_reference_checkpoint(pth_path, detector, variables):
+def load_reference_checkpoint(pth_path, detector, variables, weights_only=True):
     """Load a reference `.pth` file (torch serialization) and convert it.
 
-    Requires torch importable (CPU is enough)."""
+    Requires torch importable (CPU is enough). weights_only=True (default)
+    refuses pickled code objects — reference checkpoints hold only tensors
+    and basic-typed meta, so this is safe; pass False only for trusted
+    files that need it."""
     import torch
 
-    ckpt = torch.load(pth_path, map_location="cpu", weights_only=False)
+    ckpt = torch.load(pth_path, map_location="cpu", weights_only=weights_only)
     state_dict = ckpt.get("state_dict", ckpt) if isinstance(ckpt, dict) else ckpt
     state_dict = {k: v.numpy() for k, v in state_dict.items()}
     return convert_reference_state_dict(state_dict, detector, variables)
@@ -254,7 +288,8 @@ def convert_torchvision_resnet(state_dict, variables):
     layer{s}.{j}.conv{k}/bn{k}/downsample) into flax `models.ResNet`
     variables — the reference's ImageNet-pretrained backbone flow
     (`resnet.py:314-340` loads exactly these checkpoints). Classifier
-    (`fc.*`) keys are ignored. Deep-stem checkpoints are not supported."""
+    (`fc.*`) keys are ignored. Deep-stem checkpoints (mmdet `stem.{i}`
+    naming, three 3x3 conv+norm pairs) are supported."""
     state_dict = _strip_module_prefix(
         {k: np.asarray(v) for k, v in state_dict.items() if not k.startswith("fc.")}
     )
@@ -290,4 +325,5 @@ def convert_torchvision_resnet(state_dict, variables):
 
     leftover = sorted(set(groups) - w.consumed)
     assert not leftover, f"unconverted resnet modules: {leftover[:8]}"
+    _assert_target_filled(w)
     return {"params": w.params, "batch_stats": w.batch_stats}
