@@ -65,9 +65,11 @@ def _build_torch_s():
     return bb, neck, head
 
 
-def _flax_convs_in_order(params, batch_stats):
+def _flax_convs_in_order(params, batch_stats, include_head=True):
     """(kernel, bias?, norm_scale?, norm_bias?) per conv, in forward order,
-    using the known module naming of this repo's backbone/neck/head."""
+    using the known module naming of this repo's backbone/neck/head.
+    include_head=False stops after the neck (for detectors with a non-LFD
+    head, e.g. FCOS — see test_reference_parity_v2.py)."""
     entries = []
 
     def conv_norm(tree, stats):
@@ -102,6 +104,8 @@ def _flax_convs_in_order(params, batch_stats):
     nks = batch_stats.get("neck", {})
     for i in range(5):
         entries.append((f"neck{i}",) + conv_norm(nk[f"neck{i}"], nks.get(f"neck{i}")))
+    if not include_head:
+        return entries
     hd = params["head"]
     for c in ["conv0", "conv1"]:
         sub = hd["shared_merge"][c]
@@ -112,7 +116,7 @@ def _flax_convs_in_order(params, batch_stats):
     return entries
 
 
-def _torch_convs_in_order(bb, neck, head):
+def _torch_convs_in_order(bb, neck, head=None):
     import torch.nn as nn
 
     mods = []
@@ -131,6 +135,8 @@ def _torch_convs_in_order(bb, neck, head):
     for i in range(5):
         seq = list(getattr(neck, f"neck{i}"))
         mods.append((seq[0], seq[1]))
+    if head is None:
+        return mods
     merge = list(head.head0_merge_path)
     # [conv, gn, relu, conv, gn, relu]
     mods.append((merge[0], merge[1]))
@@ -140,12 +146,15 @@ def _torch_convs_in_order(bb, neck, head):
     return mods
 
 
-def _transplant_s(variables, bb, neck, head):
-    """Copy the flax WIDERFACE-S weights into the reference torch modules."""
+def _transplant_s(variables, bb, neck, head=None):
+    """Copy the flax WIDERFACE-S weights into the reference torch modules.
+    head=None transplants backbone+neck only (FCOS-head models transplant
+    their head separately)."""
     import torch
 
     flax_entries = _flax_convs_in_order(
-        variables["params"], variables.get("batch_stats", {})
+        variables["params"], variables.get("batch_stats", {}),
+        include_head=head is not None,
     )
     torch_mods = _torch_convs_in_order(bb, neck, head)
     assert len(flax_entries) == len(torch_mods), (
@@ -167,9 +176,10 @@ def _transplant_s(variables, bb, neck, head):
                     tnorm.running_mean.copy_(torch.from_numpy(np.asarray(norm["mean"]).copy()))
                     tnorm.running_var.copy_(torch.from_numpy(np.asarray(norm["var"]).copy()))
         # per-level reg Scale params
-        for i in range(5):
-            s = np.asarray(variables["params"]["head"][f"scale{i}"]["scale"])
-            head._scales[i]._scale.copy_(torch.tensor(float(s)))
+        if head is not None:
+            for i in range(5):
+                s = np.asarray(variables["params"]["head"][f"scale{i}"]["scale"])
+                head._scales[i]._scale.copy_(torch.tensor(float(s)))
 
 
 def test_same_weights_same_outputs():
