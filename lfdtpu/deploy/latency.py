@@ -120,6 +120,59 @@ def timing_inference(engine, images, valid_hw, warmup_loops=10, timing_loops=Non
     )
 
 
+def device_time_inference(engine, images, valid_hw, loops=(6, 12), reps=3):
+    """DEVICE-ONLY per-call time of an engine: no tunnel, no dispatch.
+
+    Method: jit one program that runs the engine body N times inside a
+    `lax.fori_loop`, iterations chained through a data dependence the
+    compiler cannot fold (the next input adds a where(isnan(acc),1,0)
+    uint8 that is always 0 at runtime), then fetch one scalar. The
+    per-call device time is the slope between the two loop depths —
+    per-program dispatch, H2D input transport and the D2H fetch barrier
+    all cancel exactly. This is the evidence channel for separating "our
+    program is slow" from "the remote backend's fixed overhead dominates"
+    on small-input cells (BENCH.md).
+
+    Returns dict(ms_device=..., ms_n1, ms_n2, loops).
+    """
+    fn, consts = engine.export_parts()
+    vhw = jnp.asarray(valid_hw, jnp.float32)
+    images = jnp.asarray(images)
+
+    def make(n):
+        @jax.jit
+        def run(consts, images):
+            def body(i, acc):
+                dep = jnp.where(jnp.isnan(acc), 1, 0).astype(images.dtype)
+                out = fn(*consts, images + dep, vhw)
+                return acc + jnp.sum(out["count"]).astype(jnp.float32) * 1e-30
+            return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+
+        return run
+
+    f1, f2 = make(loops[0]), make(loops[1])
+    # warm BOTH programs (compile + first own-output fetch) before timing
+    # EITHER: if fetching the second executable's output flips the process
+    # into the degraded ~35ms/call state, both timings then share it and
+    # it cancels in the slope
+    np.asarray(f1(consts, images))
+    np.asarray(f2(consts, images))
+
+    def timed(f):
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            out = f(consts, images)
+            np.asarray(out)
+            ts.append(time.perf_counter() - t0)
+        return float(np.median(ts))
+
+    t1 = timed(f1)
+    t2 = timed(f2)
+    ms = (t2 - t1) / (loops[1] - loops[0]) * 1000.0 / images.shape[0]
+    return dict(ms_device=ms, s_n1=t1, s_n2=t2, loops=tuple(loops))
+
+
 def inference_latency_evaluation(
     detector,
     variables,

@@ -96,50 +96,72 @@ class LFDResNet(nn.Module):
             self.stem_mode, self.body_mode, self.body_architecture, self.body_channels, self.out_indices
         )[1]
 
-    @nn.compact
-    def __call__(self, x, train: bool = False):
+    def setup(self):
+        # setup-style (not @nn.compact) so stem_forward/body_forward are
+        # separately applicable via `apply(..., method=...)` — the split
+        # (two-program) deployment engine runs the stem and the body as
+        # different XLA programs (deploy/pallas_net.py). Param names are
+        # identical to the previous compact form.
         act_cfg = self.act_cfg or dict(type="ReLU")
         norm_cfg = self.norm_cfg if self.norm_cfg is not None else dict(type="BatchNorm2d")
         arch, chans, out_indices = resolve_body(
             self.body_mode, self.body_architecture, self.body_channels, self.out_indices
         )
         block_cls = BLOCK_TYPES[self.block_mode]
-        bn_train = train and not self.norm_eval
 
         # stem (`lfd_resnet.py:354-439`)
-        stem_train = bn_train and self.frozen_stages <= 0
         if self.stem_mode == "fast":
-            x = ConvNormAct(self.stem_channels, 3, 2, norm_cfg, act_cfg, name="stem0")(x, stem_train)
-            x = ConvNormAct(self.stem_channels, 1, 1, norm_cfg, act_cfg, name="stem1")(x, stem_train)
+            stems = [(self.stem_channels, 3, 2), (self.stem_channels, 1, 1)]
         elif self.stem_mode == "faster":
-            x = ConvNormAct(self.stem_channels, 3, 2, norm_cfg, act_cfg, name="stem0")(x, stem_train)
-            x = ConvNormAct(self.stem_channels, 1, 1, norm_cfg, act_cfg, name="stem1")(x, stem_train)
-            x = ConvNormAct(self.stem_channels, 3, 2, norm_cfg, act_cfg, name="stem2")(x, stem_train)
-            x = ConvNormAct(self.stem_channels, 1, 1, norm_cfg, act_cfg, name="stem3")(x, stem_train)
+            stems = [(self.stem_channels, 3, 2), (self.stem_channels, 1, 1),
+                     (self.stem_channels, 3, 2), (self.stem_channels, 1, 1)]
         elif self.stem_mode == "fastest":
-            x = ConvNormAct(self.stem_channels // 2, 3, 2, norm_cfg, act_cfg, name="stem0")(x, stem_train)
-            x = ConvNormAct(self.stem_channels, 3, 2, norm_cfg, act_cfg, name="stem1")(x, stem_train)
+            stems = [(self.stem_channels // 2, 3, 2), (self.stem_channels, 3, 2)]
         else:
             raise ValueError("Unsupported stem_mode!")
-        if self.frozen_stages > 0:
-            x = jax.lax.stop_gradient(x)
-
-        outs = []
-        for i, num_blocks in enumerate(arch):
-            stage_train = bn_train and i >= self.frozen_stages
-            for j in range(num_blocks):
-                x = block_cls(
+        self._stems = [
+            ConvNormAct(ch, k, s, norm_cfg, act_cfg, name=f"stem{n}")
+            for n, (ch, k, s) in enumerate(stems)
+        ]
+        self._stages = [
+            [
+                block_cls(
                     features=chans[i],
                     stride=2 if j == 0 else 1,
                     use_downsample=j == 0,
                     act_cfg=act_cfg,
                     norm_cfg=norm_cfg,
                     name=f"stage{i}_block{j}",
-                )(x, stage_train)
+                )
+                for j in range(num_blocks)
+            ]
+            for i, num_blocks in enumerate(arch)
+        ]
+        self._out_indices = out_indices
+
+    def stem_forward(self, x, train: bool = False):
+        bn_train = train and not self.norm_eval
+        stem_train = bn_train and self.frozen_stages <= 0
+        for m in self._stems:
+            x = m(x, stem_train)
+        if self.frozen_stages > 0:
+            x = jax.lax.stop_gradient(x)
+        return x
+
+    def body_forward(self, x, train: bool = False):
+        bn_train = train and not self.norm_eval
+        outs = []
+        for i, stage in enumerate(self._stages):
+            stage_train = bn_train and i >= self.frozen_stages
+            for j, block in enumerate(stage):
+                x = block(x, stage_train)
                 if i < self.frozen_stages:
                     # freeze: no gradient reaches this stage's params, even
                     # through tapped outputs
                     x = jax.lax.stop_gradient(x)
-                if (i, j) in out_indices:
+                if (i, j) in self._out_indices:
                     outs.append(x)
         return tuple(outs)
+
+    def __call__(self, x, train: bool = False):
+        return self.body_forward(self.stem_forward(x, train), train)

@@ -79,6 +79,15 @@ def test_timing_inference_runs():
     assert r["ms_per_image"] > 0 and r["fps"] > 0
 
 
+def test_device_time_inference_runs():
+    from lfdtpu.deploy.latency import device_time_inference
+
+    det, variables, img = _engine_setup()
+    engine = compile_inference(det, variables, (64, 64), "fp32")
+    r = device_time_inference(engine, img, (64.0, 64.0), loops=(2, 4), reps=1)
+    assert np.isfinite(r["ms_device"]) and r["s_n2"] > 0
+
+
 def test_cast_variables_dtype():
     det, variables, _ = _engine_setup()
     b = cast_variables(variables, jnp.bfloat16)
@@ -112,6 +121,43 @@ def test_int8_true_path_runs_and_is_close(rng):
     )(variables, x)
     cc2 = np.corrcoef(np.asarray(cls_s).ravel(), np.asarray(ref_cls).ravel())[0, 1]
     assert cc2 > 0.98, cc2
+
+
+def test_int8_fused_chain_close_and_stays_int8(rng):
+    """The engine int8 path (fused chain): close to f32, int8 convs with a
+    single epilogue actually present (backbone convs carry
+    preferred_element_type=int32), prequantized and trace-time-quantized
+    kernels agree."""
+    from lfdtpu.deploy.int8_net import calibrate_module_amax, int8_fused_apply
+
+    det, variables, img = _engine_setup()
+    pre = make_device_preprocess((0.5, 0.5, 0.5), (0.5, 0.5, 0.5))
+    amax = calibrate_module_amax(det, variables, [img], preprocess=pre)
+    assert any(k.endswith("#out") for k in amax) and "__input__#out" in amax
+
+    x = pre(jnp.asarray(img)).astype(jnp.float32)
+    ref_cls, ref_reg = det.net.apply(variables, x, train=False)
+
+    fused = lambda v, xx: int8_fused_apply(det.net, v, xx, amax)
+    cls8, reg8 = jax.jit(fused)(variables, x)
+    # slightly looser than the legacy per-conv path's 0.98: the fused chain
+    # requantizes each edge from the previous int8 result (TRT-style), so
+    # rounding noise compounds across the ~10 edges of this random-init net
+    cc = np.corrcoef(np.asarray(cls8).ravel(), np.asarray(ref_cls).ravel())[0, 1]
+    assert cc > 0.95, cc
+    cc_r = np.corrcoef(np.asarray(reg8).ravel(), np.asarray(ref_reg).ravel())[0, 1]
+    assert cc_r > 0.95, cc_r
+    # correlation is scale-invariant — also pin the MAGNITUDE (catches a
+    # dropped dequant: raw int8 kernels once inflated reg by ~8000x here)
+    for got, ref in ((cls8, ref_cls), (reg8, ref_reg)):
+        ratio = float(jnp.mean(jnp.abs(got)) / jnp.mean(jnp.abs(ref)))
+        assert 0.8 < ratio < 1.25, ratio
+
+    # the backbone+neck convs must be real int8 x int8 -> int32 convs
+    txt = str(jax.make_jaxpr(fused)(variables, x))
+    assert txt.count("preferred_element_type=int32") >= 8, txt.count(
+        "preferred_element_type=int32"
+    )
 
 
 def test_int8_engine_end_to_end():

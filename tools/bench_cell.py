@@ -13,9 +13,30 @@ Usage: python tools/bench_cell.py WIDERFACE-L bf16 1080 1920 [loops]
 """
 import json
 import os
+import subprocess
 import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def build_cell(model_name):
+    """(detector, init variables, device preprocess) for a zoo model."""
+    import jax
+
+    from lfdtpu.deploy import make_device_preprocess
+    from lfdtpu.zoo import ZOO
+
+    det = ZOO[model_name]()
+    variables = det.init(jax.random.PRNGKey(0), (256, 256))
+    if model_name.startswith("TL-"):
+        # TrafficLight: imagenet stats + BGR2RGB (`TL_augmentation_pipeline.py`)
+        preprocess = make_device_preprocess(
+            (0.485, 0.456, 0.406), (0.229, 0.224, 0.225), bgr2rgb=True
+        )
+    else:
+        # WIDERFACE / TT100K: simple 0.5/0.5 normalize
+        preprocess = make_device_preprocess((0.5, 0.5, 0.5), (0.5, 0.5, 0.5))
+    return det, variables, preprocess
 
 
 def main():
@@ -26,35 +47,31 @@ def main():
     h, w = int(sys.argv[3]), int(sys.argv[4])
     loops = int(sys.argv[5]) if len(sys.argv) > 5 else 0
 
-    import jax
     import numpy as np
 
-    from lfdtpu.deploy import (
-        compile_inference,
-        make_device_preprocess,
-        quantize_variables_int8,
-        timing_inference,
-    )
-    from lfdtpu.zoo import ZOO
+    from lfdtpu.deploy import compile_inference, timing_inference
 
-    det = ZOO[model_name]()
-    variables = det.init(jax.random.PRNGKey(0), (256, 256))
+    act_scales = None
     if precision == "int8":
-        variables = quantize_variables_int8(variables)
+        # calibrate in a SEPARATE process: fetching a calibration program's
+        # output in this process would permanently degrade its per-call
+        # latency (~35 ms/call) and poison the timed engine
+        out = subprocess.run(
+            [sys.executable, os.path.join(os.path.dirname(__file__),
+                                          "calibrate_cell.py"),
+             model_name, str(h), str(w)],
+            capture_output=True, text=True, check=True,
+        )
+        line = [l for l in out.stdout.splitlines() if l.startswith("AMAX ")][-1]
+        act_scales = json.loads(line[len("AMAX "):])
 
+    det, variables, preprocess = build_cell(model_name)
     divisor = max(det.point_strides)
     ph = (h + divisor - 1) // divisor * divisor
     pw = (w + divisor - 1) // divisor * divisor
-    if model_name.startswith("TL-"):
-        # TrafficLight: imagenet stats + BGR2RGB (`TL_augmentation_pipeline.py`)
-        preprocess = make_device_preprocess(
-            (0.485, 0.456, 0.406), (0.229, 0.224, 0.225), bgr2rgb=True
-        )
-    else:
-        # WIDERFACE / TT100K: simple 0.5/0.5 normalize
-        preprocess = make_device_preprocess((0.5, 0.5, 0.5), (0.5, 0.5, 0.5))
     engine = compile_inference(
-        det, variables, (ph, pw), precision=precision, preprocess=preprocess
+        det, variables, (ph, pw), precision=precision, preprocess=preprocess,
+        act_scales=act_scales,
     )
     images = np.random.randint(0, 255, (1, ph, pw, 3), dtype=np.uint8)
     t_build = time.time()
