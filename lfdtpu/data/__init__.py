@@ -1,6 +1,6 @@
 from .sample import Sample, reserved_keys
 from .jpeg import decode as jpeg_decode, encode as jpeg_encode, scale_with_quality, crop as jpeg_crop
-from .parsers import Parser, WIDERFACEParser, COCOParser, TT100KParser
+from .parsers import Parser, WIDERFACEParser, COCOParser, TT100KParser, TT100K_TYPE45
 from .dataset import Dataset
 from .dataset_samplers import (
     BaseDatasetSampler,

@@ -44,6 +44,11 @@ def make_device_preprocess(mean, std, max_pixel_value=255.0, bgr2rgb=False):
             x = x[..., ::-1]
         return (x - mean) / std
 
+    # exposed so compile_inference(pallas_stem=True) can fold the
+    # normalization into the fused stem kernel instead of running it
+    preprocess.mean = mean
+    preprocess.std = std
+    preprocess.bgr2rgb = bgr2rgb
     return preprocess
 
 
@@ -61,6 +66,8 @@ def compile_inference(
     act_scales=None,
     approx_topk=False,
     pallas_convs="auto",
+    pallas_stem=False,
+    split=False,
 ):
     """Build ("compile") one inference engine.
 
@@ -79,6 +86,23 @@ def compile_inference(
     at these shapes; ops/conv_pallas.py). "auto" = on for bf16 engines on a
     real TPU backend, off otherwise (the kernel is bf16-only and the CPU
     interpreter is for tests, not speed).
+
+    pallas_stem: run normalize + stem0 (3x3/s2 conv 3->64) + folded BN +
+    ReLU as ONE Pallas kernel consuming the raw uint8 frame (the XLA stem
+    conv runs at <2 TFLOP/s — BENCH.md attribution). bf16 engines only;
+    requires a preprocess from make_device_preprocess (its mean/std fold
+    into the kernel) and a 'fast'/'faster'-stem LFD backbone.
+    NOTE: current Mosaic cannot lower the kernel's tap-gather shape cast
+    (see ops/conv_pallas.py header for the named failing layouts), so on
+    real TPU this option fails at compile; it works in interpret mode and
+    is kept for future Mosaic releases.
+
+    split: build a TWO-PROGRAM engine — program 1 = preprocess + backbone
+    stem, program 2 = body + neck + head + decode + NMS, chained device-to-
+    device. At a program boundary XLA propagates the default-layout
+    requirement back through the convs, so Pallas<->XLA junction relayouts
+    (the reason pallas_convs defaults off; BENCH.md) become free, at the
+    cost of one extra per-program dispatch (~1 ms on the tunnel backend).
     """
     import dataclasses
 
@@ -155,27 +179,60 @@ def compile_inference(
         if not weight_packs:
             weight_packs = None
 
-    @jax.jit
-    def _engine(run_vars, level_arrays, weight_scales, weight_packs,
-                images, valid_hw):
-        x = images
+    stem_pack = None
+    if pallas_stem:
+        from .pallas_net import prepack_stem
+
+        if precision != "bf16":
+            raise ValueError("pallas_stem requires precision='bf16'")
+        if preprocess is None or not hasattr(preprocess, "mean"):
+            raise ValueError(
+                "pallas_stem needs a make_device_preprocess preprocess "
+                "(its mean/std fold into the stem kernel)"
+            )
+        stem_pack = prepack_stem(
+            run_vars, preprocess.mean, preprocess.std,
+            bgr2rgb=preprocess.bgr2rgb,
+        )
+        if stem_pack is None:
+            raise ValueError(
+                "pallas_stem: the backbone's stem0 is not a "
+                "ConvNormAct(64, k3, s2, BatchNorm) on a 3-channel input"
+            )
+        stem_pack = tuple(jax.device_put(v) for v in stem_pack)
+    if split and precision == "int8":
+        raise ValueError("split engines do not support int8")
+    if split and not hasattr(detector.net.backbone, "stem_forward"):
+        raise ValueError(
+            "split engines need a backbone with stem_forward/body_forward "
+            "(LFDResNet); %s has no such split point"
+            % type(detector.net.backbone).__name__
+        )
+
+    import contextlib
+
+    def _front(x, stem_pack):
+        """Raw frames -> preprocessed net input (or None to let the stem
+        interception consume raw uint8)."""
+        if stem_pack is not None:
+            return x  # raw uint8: normalization folds into the stem kernel
         if preprocess is not None:
             x = preprocess(x)
-        x = x.astype(compute_dtype)
-        if precision == "int8":
-            from .int8_net import int8_fused_apply
+        return x.astype(compute_dtype)
 
-            cls_o, reg_o = int8_fused_apply(
-                detector.net, run_vars, x, act_scales,
-                weight_scales=weight_scales,
-            )
-        elif weight_packs is not None:
+    def _net_ctx(weight_packs, stem_pack):
+        stack = contextlib.ExitStack()
+        if weight_packs is not None:
             from .pallas_net import pallas_conv_interception
 
-            with pallas_conv_interception(weight_packs):
-                cls_o, reg_o = detector.net.apply(run_vars, x, train=False)
-        else:
-            cls_o, reg_o = detector.net.apply(run_vars, x, train=False)
+            stack.enter_context(pallas_conv_interception(weight_packs))
+        if stem_pack is not None:
+            from .pallas_net import pallas_stem_interception
+
+            stack.enter_context(pallas_stem_interception(stem_pack))
+        return stack
+
+    def _decode(cls_o, reg_o, level_arrays, valid_hw):
         cls_o = cls_o.astype(jnp.float32)
         reg_o = reg_o.astype(jnp.float32)
         decode = lambda c, r: detector.decode_single(
@@ -184,22 +241,65 @@ def compile_inference(
         )
         return jax.vmap(decode)(cls_o, reg_o)
 
+    @jax.jit
+    def _engine(run_vars, level_arrays, weight_scales, weight_packs,
+                stem_pack, images, valid_hw):
+        x = _front(images, stem_pack)
+        if precision == "int8":
+            from .int8_net import int8_fused_apply
+
+            cls_o, reg_o = int8_fused_apply(
+                detector.net, run_vars, x, act_scales,
+                weight_scales=weight_scales,
+            )
+        else:
+            with _net_ctx(weight_packs, stem_pack):
+                cls_o, reg_o = detector.net.apply(run_vars, x, train=False)
+        return _decode(cls_o, reg_o, level_arrays, valid_hw)
+
+    @jax.jit
+    def _stem_prog(run_vars, stem_pack, images):
+        x = _front(images, stem_pack)
+        with _net_ctx(None, stem_pack):
+            return detector.net.apply(
+                run_vars, x, train=False,
+                method=lambda net, x, train: net.backbone.stem_forward(x, train),
+            )
+
+    @jax.jit
+    def _body_prog(run_vars, level_arrays, weight_packs, x, valid_hw):
+        with _net_ctx(weight_packs, None):
+            cls_o, reg_o = detector.net.apply(
+                run_vars, x, train=False, method="from_stem"
+            )
+        return _decode(cls_o, reg_o, level_arrays, valid_hw)
+
     class Engine:
         """Compiled engine: __call__(images, valid_hw) -> decoded dict."""
 
         precision_mode = precision
         input_resolution = input_hw
+        is_split = bool(split)
 
         def __call__(self, images, valid_hw):
+            vhw = jnp.asarray(valid_hw, jnp.float32)
+            if split:
+                h = _stem_prog(run_vars, stem_pack, images)
+                return _body_prog(run_vars, level_arrays, weight_packs,
+                                  h, vhw)
             return _engine(run_vars, level_arrays, weight_scales,
-                           weight_packs, images,
-                           jnp.asarray(valid_hw, jnp.float32))
+                           weight_packs, stem_pack, images, vhw)
 
         def export_parts(self):
             """(jitted fn, constant args) for engine_io.save_engine —
             constants are the leading positional args of the program."""
+            if split:
+                raise ValueError(
+                    "split engines are two programs; serialize with "
+                    "split=False (same math, one program)"
+                )
             return _engine, (run_vars, level_arrays, weight_scales,
-                             weight_packs)
+                             weight_packs, stem_pack)
 
         def example_args(self):
             h, w = input_hw

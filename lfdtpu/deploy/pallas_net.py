@@ -21,9 +21,16 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+import numpy as np
+
 from ..models.blocks import FasterBlock
-from ..models.layers import BN_EPS
-from ..ops.conv_pallas import pack_pair_weights, pair_conv3x3
+from ..models.layers import BN_EPS, ConvNormAct
+from ..ops.conv_pallas import (
+    pack_pair_weights,
+    pack_stem,
+    pair_conv3x3,
+    stem_conv,
+)
 
 
 def _is_stride1(mod):
@@ -167,6 +174,84 @@ def _pallas_faster_block(mod, x, path, weight_packs):
         return pair_conv3x3(y, w1, sb1, residual=img, relu=True, tile_h=8)
 
     return jax.vmap(one)(x)
+
+
+def prepack_stem(variables, mean, std, bgr2rgb=False):
+    """Fold normalize + stem0 conv + BN into stem-kernel constants.
+
+    variables: the engine's run variables (params + batch_stats); the
+    backbone's first stem layer must be ConvNormAct(64, k3, s2) with
+    BatchNorm + ReLU on a 3-channel input ('fast'/'faster' stem modes,
+    reference `lfd_resnet.py:354-400`).
+    mean/std: device-preprocess constants IN PIXEL UNITS (0..255) — the
+    kernel consumes RAW uint8 frames and normalizes in-register, so the
+    engine skips its separate preprocess pass.
+    Returns (w, affine, out_sb) for ops.conv_pallas.stem_conv, or None when
+    the net's stem is not this shape.
+    """
+    params = variables.get("params", {}).get("backbone", {}).get("stem0")
+    stats = variables.get("batch_stats", {}).get("backbone", {}).get("stem0")
+    if params is None or stats is None or "Norm_0" not in params:
+        return None
+    k = np.asarray(jax.device_get(params["Conv_0"]["kernel"]), np.float32)
+    if k.shape != (3, 3, 3, 64):
+        return None
+    bn = params["Norm_0"]["BatchNorm_0"]
+    st = stats["Norm_0"]["BatchNorm_0"]
+    scale = np.asarray(jax.device_get(bn["scale"]), np.float32) / np.sqrt(
+        np.asarray(jax.device_get(st["var"]), np.float32) + BN_EPS
+    )
+    bias = (
+        np.asarray(jax.device_get(bn["bias"]), np.float32)
+        - np.asarray(jax.device_get(st["mean"]), np.float32) * scale
+    )
+    mean = np.asarray(mean, np.float32)
+    std = np.asarray(std, np.float32)
+    if bgr2rgb:
+        # conv(x[..., ::-1], k) == conv(x, k[:, :, ::-1, :]): fold the
+        # channel flip into the packed weights + normalize constants
+        k = k[:, :, ::-1, :]
+        mean = mean[::-1]
+        std = std[::-1]
+    return pack_stem(k, mean, std, scale=scale, bias=bias)
+
+
+@contextlib.contextmanager
+def pallas_stem_interception(stem_pack, interpret=False):
+    """Context manager: the backbone's `stem0` ConvNormAct runs as the
+    fused Pallas stem kernel (normalize + 3x3/s2 conv 3->64 + folded BN +
+    ReLU in ONE kernel consuming the raw uint8 frame). The engine must
+    feed raw uint8 frames (no separate preprocess) when this is active."""
+    w, affine, out_sb = stem_pack
+
+    def interceptor(next_fun, args, kwargs, context):
+        mod = context.module
+        if (
+            context.method_name == "__call__"
+            and isinstance(mod, ConvNormAct)
+            and mod.path
+            and mod.path[-1] == "stem0"
+        ):
+            x = args[0]
+            if (
+                x.ndim == 4
+                and x.shape[3] == 3
+                and x.shape[1] % 8 == 0
+                and x.shape[2] % 4 == 0
+            ):
+                def one(img):
+                    return stem_conv(img, w, affine, out_sb, relu=True)
+
+                if interpret:
+                    from jax.experimental.pallas import tpu as pltpu
+
+                    with pltpu.force_tpu_interpret_mode():
+                        return jax.vmap(one)(x)
+                return jax.vmap(one)(x)
+        return next_fun(*args, **kwargs)
+
+    with nn.intercept_methods(interceptor):
+        yield
 
 
 @contextlib.contextmanager

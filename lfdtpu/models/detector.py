@@ -41,9 +41,17 @@ class DetectionNet(nn.Module):
     neck: Optional[nn.Module]
     head: nn.Module
 
-    @nn.compact
     def __call__(self, x, train: bool = False):
-        feats = self.backbone(x, train=train)
+        return self.from_feats(self.backbone(x, train=train), train=train)
+
+    def from_stem(self, x, train: bool = False):
+        """Forward from the backbone's stem OUTPUT (the entry point of the
+        second program of a split deployment engine; see
+        deploy/compile.py `split`)."""
+        return self.from_feats(self.backbone.body_forward(x, train=train),
+                               train=train)
+
+    def from_feats(self, feats, train: bool = False):
         if self.neck is not None:
             feats = self.neck(feats, train=train)
         head_outs = self.head(feats, train=train)

@@ -18,6 +18,25 @@
 #     consumes RAW uint8 frames and emits normalized, convolved, BN-folded,
 #     activated stem output in a single pass.
 #
+#     STATUS: interpret-mode verified, but current Mosaic CANNOT lower it —
+#     the per-quad tap gather needs the shape cast (tile_h, w*3) ->
+#     (tile_h, w/4, 12), rejected by infer-vector-layout ("unsupported
+#     shape cast vector<32x1x384xbf16> -> vector<32x32x12xbf16>"; the f32
+#     form is rejected identically).  Every alternative formulation ends at
+#     the same wall: a lane-granularity gather with stride 12 (3 channels x
+#     4 pixels), which Mosaic has no primitive for — rolls only rotate whole
+#     rows, concats require matching lane offsets, there is no in-kernel
+#     gather/shuffle, and grid/BlockSpec indexing is block-granular.
+#     Checked variants: pair-quad reshape in f32 (same rejection), polyphase
+#     / planar splits (need XLA-side strided gathers measured at 3.0-3.5 ms
+#     — worse than the 1.0 ms stem they'd replace), channel-on-sublane
+#     transposes (Mosaic 2D transpose granularity + 32-select assembly
+#     costs ~4 ms), and gather-via-MXU with one-hot matrices (<=7% useful
+#     MACs).  The kernel stays as the ready implementation for a Mosaic
+#     release with sub-lane-tile shape casts; engines gate it behind
+#     compile_inference(pallas_stem=True), exercised in interpret mode by
+#     tests/test_conv_pallas.py and tests/test_deploy.py.
+#
 # These replace the reference's TensorRT-optimized first layers
 # (`lfd/deployment/tensorrt/build_engine.py` relies on TRT to pick conv
 # algorithms; on TPU we pick the formulation ourselves).
@@ -276,12 +295,19 @@ def _stem_kernel(up_ref, mid_ref, dn_ref, w_ref, aff_ref, sb_ref, out_ref,
     n = pl.num_programs(0)
     q = w_in // 4  # quads of input pixels; == w_out_pairs
 
-    mid = mid_ref[...].astype(jnp.bfloat16)            # (2*tile_h, w_in*3)
-    up = up_ref[7:8].astype(jnp.bfloat16)              # (1, w_in*3)
-    dn = dn_ref[0:1].astype(jnp.bfloat16)
+    # Mosaic has no direct uint8->bf16 cast, and the tap-gather reshapes
+    # below only lower for 32-bit element types (bf16 shape casts like
+    # (32,1,384)->(32,32,12) are rejected by infer-vector-layout) — so the
+    # whole A assembly runs in f32 and casts to bf16 only for the dot.
+    def u8_to_f32(x):
+        return x.astype(jnp.int32).astype(jnp.float32)
+
+    mid = u8_to_f32(mid_ref[...])                      # (2*tile_h, w_in*3)
+    up = u8_to_f32(up_ref[7:8])                        # (1, w_in*3)
+    dn = u8_to_f32(dn_ref[0:1])
     aff = aff_ref[...]
-    mean = aff[0].astype(jnp.bfloat16)
-    inv = aff[1].astype(jnp.bfloat16)
+    mean = aff[0]
+    inv = aff[1]
 
     # row-halo handling: out-of-image rows contribute zero after normalize;
     # easiest is to zero their inv-std via masking the A rows below.
@@ -306,20 +332,22 @@ def _stem_kernel(up_ref, mid_ref, dn_ref, w_ref, aff_ref, sb_ref, out_ref,
         [a, jnp.zeros((tile_h, q, STEM_K - _TAPS), a.dtype)], axis=-1
     )
     a = (a - mean) * inv
-    # first/last global rows: dy0 of tile 0 row 0 and dy2 of the last tile's
-    # last row lie outside the image -> normalized contribution must be 0.
-    # up/dn refs are clamped duplicates there; kill them via inv=0 lanes:
-    row0 = jnp.logical_and(i == 0, jax.lax.broadcasted_iota(jnp.int32, (tile_h, 1, 1), 0) == 0)
-    lane_dy0 = jax.lax.broadcasted_iota(jnp.int32, (1, 1, STEM_K), 2) < 15
-    a = jnp.where(jnp.logical_and(row0, lane_dy0), 0.0, a)
-    rowN = jnp.logical_and(
-        i == n - 1,
-        jax.lax.broadcasted_iota(jnp.int32, (tile_h, 1, 1), 0) == tile_h - 1,
+    # Out-of-image taps must contribute ZERO (conv zero-padding), but the
+    # per-lane normalize above turns a raw 0 into (0 - mean) * inv.  Two
+    # sites need masking AFTER the affine (the bottom row never leaves the
+    # image: stride-2 pad-1 on even H taps rows 2r-1..2r+1 <= h-1):
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, STEM_K), 2)
+    # 1. dy0 of global output row 0 (input row -1): whole dy0 block.
+    row0 = jnp.logical_and(
+        i == 0, jax.lax.broadcasted_iota(jnp.int32, (tile_h, 1, 1), 0) == 0
     )
-    lane_dy2 = jax.lax.broadcasted_iota(jnp.int32, (1, 1, STEM_K), 2) >= 30
-    a = jnp.where(jnp.logical_and(rowN, lane_dy2), 0.0, a)
+    a = jnp.where(jnp.logical_and(row0, lane < 15), 0.0, a)
+    # 2. c0 taps of quad 0 (input col -1): lanes dy*15 + {0,1,2}.
+    quad0 = jax.lax.broadcasted_iota(jnp.int32, (1, q, 1), 1) == 0
+    lane_c0 = jnp.logical_and(lane % 15 < 3, lane < _TAPS)
+    a = jnp.where(jnp.logical_and(quad0, lane_c0), 0.0, a)
 
-    a = a.reshape(tile_h * q, STEM_K)
+    a = a.reshape(tile_h * q, STEM_K).astype(jnp.bfloat16)
     acc = jnp.dot(a, w_ref[...], preferred_element_type=jnp.float32)
     acc = acc * sb_ref[0] + sb_ref[1]
     if relu:

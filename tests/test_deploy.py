@@ -179,3 +179,97 @@ def test_predict_with_engine_method():
     assert isinstance(res, list)
     for row in res:
         assert len(row) == 6
+
+
+def test_split_engine_matches_single_program():
+    """Two-program engine (stem program | body+decode program) returns the
+    SAME detections as the single-program engine — the split exists purely
+    to change XLA layout assignment at the boundary (compile.py `split`)."""
+    det, variables, img = _engine_setup()
+    pre = make_device_preprocess((0.5, 0.5, 0.5), (0.5, 0.5, 0.5))
+    vhw = jnp.asarray([64.0, 64.0])
+    base = compile_inference(det, variables, (64, 64), "fp32", preprocess=pre,
+                             classification_threshold=0.01)
+    split = compile_inference(det, variables, (64, 64), "fp32", preprocess=pre,
+                              classification_threshold=0.01, split=True)
+    assert split.is_split
+    a = base(jnp.asarray(img), vhw)
+    b = split(jnp.asarray(img), vhw)
+    assert int(a["count"][0]) == int(b["count"][0])
+    n = int(a["count"][0])
+    np.testing.assert_allclose(np.asarray(a["boxes"][0, :n]),
+                               np.asarray(b["boxes"][0, :n]), rtol=1e-5,
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(a["scores"][0, :n]),
+                               np.asarray(b["scores"][0, :n]), rtol=1e-5,
+                               atol=1e-5)
+
+
+def _fast_stem_lfd():
+    """Smallest LFD with a pallas-stem-eligible backbone (stem_mode='fast'
+    -> stem0 = ConvNormAct(64, k3, s2) on 3 channels)."""
+    from lfdtpu.models import LFD, LFDHead, LFDResNet, SimpleNeck
+    from lfdtpu.ops.loss_wrappers import FocalLoss, IoULoss
+
+    bb = LFDResNet(
+        block_mode="faster", stem_mode="fast", body_mode=None,
+        stem_channels=64, body_architecture=(1, 1), body_channels=(64, 64),
+        out_indices=((0, 0), (1, 0)), norm_cfg=dict(type="BatchNorm2d"),
+    )
+    neck = SimpleNeck(num_neck_channels=32,
+                      num_input_strides_list=tuple(bb.num_output_strides_list),
+                      norm_cfg=dict(type="BatchNorm2d"))
+    head = LFDHead(
+        num_classes=1, num_heads=2, num_head_channels=32,
+        num_conv_layers=1, norm_cfg=dict(type="GroupNorm", num_groups=8),
+        share_head_flag=True, merge_path_flag=True,
+        classification_loss_type="FocalLoss",
+        regression_loss_type="IoULoss",
+    )
+    return LFD(
+        backbone=bb, neck=neck, head=head, num_classes=1,
+        regression_ranges=((0, 32), (32, 64)),
+        point_strides=tuple(bb.num_output_strides_list),
+        classification_loss_func=FocalLoss(),
+        regression_loss_func=IoULoss(),
+    )
+
+
+def test_pallas_stem_engine_matches_base():
+    """compile_inference(pallas_stem=True): the fused uint8 stem kernel
+    (normalize + conv + BN + ReLU in one pallas_call) produces the same
+    detections as the XLA bf16 engine (interpret mode on CPU)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    det = _fast_stem_lfd()
+    variables = det.init(jax.random.PRNGKey(0), (64, 64))
+    rng = np.random.RandomState(1)
+    img = rng.randint(0, 255, (1, 64, 64, 3)).astype(np.uint8)
+    pre = make_device_preprocess((0.5, 0.5, 0.5), (0.5, 0.5, 0.5))
+    vhw = jnp.asarray([64.0, 64.0])
+    base = compile_inference(det, variables, (64, 64), "bf16", preprocess=pre,
+                             classification_threshold=0.01)
+    stem = compile_inference(det, variables, (64, 64), "bf16", preprocess=pre,
+                             classification_threshold=0.01, pallas_stem=True)
+    a = base(jnp.asarray(img), vhw)
+    with pltpu.force_tpu_interpret_mode():
+        b = stem(jnp.asarray(img), vhw)
+    # bf16 rounding differs slightly between the two stem formulations;
+    # scores of the surviving detections must stay close
+    na, nb = int(a["count"][0]), int(b["count"][0])
+    assert abs(na - nb) <= 1, (na, nb)
+    n = min(na, nb)
+    np.testing.assert_allclose(np.asarray(a["scores"][0, :n]),
+                               np.asarray(b["scores"][0, :n]), atol=0.04)
+
+
+def test_pallas_stem_requires_eligible_net():
+    det, variables, img = _engine_setup()  # 'fastest' stem: ineligible
+    pre = make_device_preprocess((0.5, 0.5, 0.5), (0.5, 0.5, 0.5))
+    try:
+        compile_inference(det, variables, (64, 64), "bf16", preprocess=pre,
+                          pallas_stem=True)
+    except ValueError as e:
+        assert "stem0" in str(e)
+    else:
+        raise AssertionError("expected ValueError for ineligible stem")

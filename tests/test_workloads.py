@@ -162,6 +162,11 @@ def test_widerface_predict_engine_file_workflow(tmp_path):
     sys.path.insert(
         0, os.path.join(os.path.dirname(__file__), "..", "workloads", "WIDERFACE_train")
     )
+    # every workloads/*/ dir ships a module named predict_engine/_common:
+    # evict any cached one from another family or this import silently
+    # returns the wrong workload's module
+    for stale in ("predict_engine", "_common"):
+        sys.modules.pop(stale, None)
     try:
         import jax
 
@@ -191,6 +196,56 @@ def test_widerface_predict_engine_file_workflow(tmp_path):
         r2 = wf_pe.predict_with_engine(
             "XS", "/nonexistent.ckpt",  # must not be touched on the load path
             str(img), classification_threshold=0.05,
+            out_path=str(tmp_path / "o2.jpg"), engine_file=str(eng),
+        )
+        assert len(r1) == len(r2)
+        for a, b in zip(r1, r2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3)
+    finally:
+        sys.path.pop(0)
+
+
+def test_tt100k_predict_engine_file_workflow(tmp_path):
+    """TT100K engine-file round trip (VERDICT r2 #7): the CE-loss decode
+    path — 45-class softmax + background column — inside a SERIALIZED
+    engine. First call builds + saves the engine, second call restores it
+    from the file (checkpoint must not be touched) and must return the
+    same detections; both go through the softmax/bg decode that only
+    WIDERFACE's sigmoid path exercised before."""
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(__file__), "..", "workloads", "TT100K_train")
+    )
+    for stale in ("predict_engine", "_common"):
+        sys.modules.pop(stale, None)  # see the WIDERFACE twin above
+    try:
+        import jax
+
+        from lfdtpu import zoo
+        from lfdtpu.execution import save_checkpoint
+        import cv2
+        import predict_engine as tt_pe
+
+        det = zoo.tt100k_lfd("S")
+        assert det.head.classification_loss_type == "CrossEntropyLoss"
+        variables = det.init(jax.random.PRNGKey(0), (128, 128))
+        ckpt = tmp_path / "tt.ckpt"
+        save_checkpoint(
+            str(ckpt),
+            {"params": variables["params"],
+             "batch_stats": variables.get("batch_stats", {})},
+        )
+        img = tmp_path / "img.jpg"
+        rng = np.random.RandomState(3)
+        cv2.imwrite(str(img), (rng.rand(100, 120, 3) * 255).astype(np.uint8))
+        eng = tmp_path / "tt.lfde"
+
+        r1 = tt_pe.predict_with_engine(
+            "S", str(ckpt), str(img), classification_threshold=0.02,
+            out_path=str(tmp_path / "o1.jpg"), engine_file=str(eng),
+        )
+        assert eng.exists()
+        r2 = tt_pe.predict_with_engine(
+            "S", "/nonexistent.ckpt", str(img), classification_threshold=0.02,
             out_path=str(tmp_path / "o2.jpg"), engine_file=str(eng),
         )
         assert len(r1) == len(r2)

@@ -49,7 +49,13 @@ def render(results):
                         cells.append("–")
                     else:
                         ms = r["ms_per_image"]
-                        cells.append(f"{ms:.2f}ms({1000.0 / ms:.1f}FPS)")
+                        cell = f"{ms:.2f}ms({1000.0 / ms:.1f}FPS)"
+                        # sub-3 ms cells sit at the remote backend's
+                        # dispatch floor where tunnel jitter can invert
+                        # neighbors (BENCH.md caveats): carry IQR inline
+                        if ms < 3.0 and "ms_p25" in r:
+                            cell += f" ±[{r['ms_p25']:.2f},{r['ms_p75']:.2f}]"
+                        cells.append(cell)
                 lines.append(f"**{m}** | " + " | ".join(cells))
             lines.append("")
     return "\n".join(lines)

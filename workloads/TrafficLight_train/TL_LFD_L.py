@@ -9,6 +9,14 @@ import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
 
+# Honor JAX_PLATFORMS even on hosts whose sitecustomize pre-registers a
+# TPU plugin and pins jax.config to it (setting the env var alone is then
+# silently ignored, and a CPU-only run blocks on TPU client init).
+if os.environ.get("JAX_PLATFORMS"):
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 from lfdtpu import zoo
 from lfdtpu.data import (
     DataLoader,
