@@ -67,6 +67,7 @@ def compile_inference(
     approx_topk=False,
     pallas_convs="auto",
     pallas_stem=False,
+    s2d_stem=False,
     split=False,
 ):
     """Build ("compile") one inference engine.
@@ -96,6 +97,12 @@ def compile_inference(
     (see ops/conv_pallas.py header for the named failing layouts), so on
     real TPU this option fails at compile; it works in interpret mode and
     is kept for future Mosaic releases.
+
+    s2d_stem: restate stem0 as a space-to-depth 2x2/s1 conv with the
+    device normalize + BN folded in (pure XLA; exact, incl. padding
+    corrections — deploy/s2d_net.py). The engine consumes raw uint8
+    frames; requires a make_device_preprocess preprocess and a
+    ConvNormAct(3x3/s2, BN, ReLU) stem0. fp32/bf16 engines.
 
     split: build a TWO-PROGRAM engine — program 1 = preprocess + backbone
     stem, program 2 = body + neck + head + decode + NMS, chained device-to-
@@ -200,6 +207,32 @@ def compile_inference(
                 "ConvNormAct(64, k3, s2, BatchNorm) on a 3-channel input"
             )
         stem_pack = tuple(jax.device_put(v) for v in stem_pack)
+    s2d_pack = None
+    if s2d_stem:
+        from .s2d_net import prepack_s2d_stem
+
+        if pallas_stem:
+            raise ValueError("s2d_stem and pallas_stem are exclusive")
+        if precision not in ("fp32", "bf16"):
+            raise ValueError("s2d_stem requires precision fp32 or bf16")
+        if preprocess is None or not hasattr(preprocess, "mean"):
+            raise ValueError(
+                "s2d_stem needs a make_device_preprocess preprocess "
+                "(its mean/std fold into the stem conv)"
+            )
+        if input_hw[0] % 2 or input_hw[1] % 2:
+            raise ValueError("s2d_stem needs even input height/width")
+        # fold from the ORIGINAL f32 variables for full folding precision
+        s2d_pack = prepack_s2d_stem(
+            variables, preprocess.mean, preprocess.std,
+            bgr2rgb=preprocess.bgr2rgb, compute_dtype=compute_dtype,
+        )
+        if s2d_pack is None:
+            raise ValueError(
+                "s2d_stem: the backbone's stem0 is not a "
+                "ConvNormAct(3x3/s2, BatchNorm) on a 3-channel input"
+            )
+        s2d_pack = tuple(jax.device_put(v) for v in s2d_pack)
     if split and precision == "int8":
         raise ValueError("split engines do not support int8")
     if split and not hasattr(detector.net.backbone, "stem_forward"):
@@ -211,16 +244,16 @@ def compile_inference(
 
     import contextlib
 
-    def _front(x, stem_pack):
-        """Raw frames -> preprocessed net input (or None to let the stem
-        interception consume raw uint8)."""
-        if stem_pack is not None:
-            return x  # raw uint8: normalization folds into the stem kernel
+    def _front(x, stem_pack, s2d_pack):
+        """Raw frames -> preprocessed net input (or unchanged raw uint8
+        when a stem interception consumes the raw frame itself)."""
+        if stem_pack is not None or s2d_pack is not None:
+            return x  # raw uint8: normalization folds into the stem
         if preprocess is not None:
             x = preprocess(x)
         return x.astype(compute_dtype)
 
-    def _net_ctx(weight_packs, stem_pack):
+    def _net_ctx(weight_packs, stem_pack, s2d_pack):
         stack = contextlib.ExitStack()
         if weight_packs is not None:
             from .pallas_net import pallas_conv_interception
@@ -230,6 +263,10 @@ def compile_inference(
             from .pallas_net import pallas_stem_interception
 
             stack.enter_context(pallas_stem_interception(stem_pack))
+        if s2d_pack is not None:
+            from .s2d_net import s2d_stem_interception
+
+            stack.enter_context(s2d_stem_interception(s2d_pack))
         return stack
 
     def _decode(cls_o, reg_o, level_arrays, valid_hw):
@@ -243,8 +280,8 @@ def compile_inference(
 
     @jax.jit
     def _engine(run_vars, level_arrays, weight_scales, weight_packs,
-                stem_pack, images, valid_hw):
-        x = _front(images, stem_pack)
+                stem_pack, s2d_pack, images, valid_hw):
+        x = _front(images, stem_pack, s2d_pack)
         if precision == "int8":
             from .int8_net import int8_fused_apply
 
@@ -253,14 +290,14 @@ def compile_inference(
                 weight_scales=weight_scales,
             )
         else:
-            with _net_ctx(weight_packs, stem_pack):
+            with _net_ctx(weight_packs, stem_pack, s2d_pack):
                 cls_o, reg_o = detector.net.apply(run_vars, x, train=False)
         return _decode(cls_o, reg_o, level_arrays, valid_hw)
 
     @jax.jit
-    def _stem_prog(run_vars, stem_pack, images):
-        x = _front(images, stem_pack)
-        with _net_ctx(None, stem_pack):
+    def _stem_prog(run_vars, stem_pack, s2d_pack, images):
+        x = _front(images, stem_pack, s2d_pack)
+        with _net_ctx(None, stem_pack, s2d_pack):
             return detector.net.apply(
                 run_vars, x, train=False,
                 method=lambda net, x, train: net.backbone.stem_forward(x, train),
@@ -268,7 +305,7 @@ def compile_inference(
 
     @jax.jit
     def _body_prog(run_vars, level_arrays, weight_packs, x, valid_hw):
-        with _net_ctx(weight_packs, None):
+        with _net_ctx(weight_packs, None, None):
             cls_o, reg_o = detector.net.apply(
                 run_vars, x, train=False, method="from_stem"
             )
@@ -284,11 +321,11 @@ def compile_inference(
         def __call__(self, images, valid_hw):
             vhw = jnp.asarray(valid_hw, jnp.float32)
             if split:
-                h = _stem_prog(run_vars, stem_pack, images)
+                h = _stem_prog(run_vars, stem_pack, s2d_pack, images)
                 return _body_prog(run_vars, level_arrays, weight_packs,
                                   h, vhw)
             return _engine(run_vars, level_arrays, weight_scales,
-                           weight_packs, stem_pack, images, vhw)
+                           weight_packs, stem_pack, s2d_pack, images, vhw)
 
         def export_parts(self):
             """(jitted fn, constant args) for engine_io.save_engine —
@@ -299,7 +336,7 @@ def compile_inference(
                     "split=False (same math, one program)"
                 )
             return _engine, (run_vars, level_arrays, weight_scales,
-                             weight_packs, stem_pack)
+                             weight_packs, stem_pack, s2d_pack)
 
         def example_args(self):
             h, w = input_hw

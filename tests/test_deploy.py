@@ -273,3 +273,98 @@ def test_pallas_stem_requires_eligible_net():
         assert "stem0" in str(e)
     else:
         raise AssertionError("expected ValueError for ineligible stem")
+
+
+def test_s2d_stem_apply_exact_vs_lax():
+    """Space-to-depth folded stem (deploy/s2d_net.py) against the plain
+    formulation: normalize -> 3x3/s2/pad1 conv -> BN affine -> ReLU.
+    Random weights/BN/mean/std, f32, boundary-heavy small image — the
+    padding corrections must make the transform exact."""
+    from lfdtpu.deploy.s2d_net import prepack_s2d_stem, s2d_stem_apply
+    from lfdtpu.models.layers import BN_EPS
+
+    rng = np.random.RandomState(7)
+    h, w, co = 10, 14, 32
+    x = rng.randint(0, 255, (2, h, w, 3)).astype(np.uint8)
+    k = rng.randn(3, 3, 3, co).astype(np.float32) * 0.1
+    mean = np.array([120.0, 115.0, 110.0], np.float32)
+    std = np.array([60.0, 58.0, 62.0], np.float32)
+    bn_scale = rng.rand(co).astype(np.float32) + 0.5
+    bn_bias = rng.randn(co).astype(np.float32) * 0.1
+    bn_mean = rng.randn(co).astype(np.float32) * 0.1
+    bn_var = rng.rand(co).astype(np.float32) + 0.2
+
+    for bgr2rgb in (False, True):
+        xn = x.astype(np.float32)
+        if bgr2rgb:
+            xn = xn[..., ::-1]
+        xn = (xn - mean) / std
+        ref = jax.lax.conv_general_dilated(
+            jnp.asarray(xn), jnp.asarray(k), (2, 2), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        g = bn_scale / np.sqrt(bn_var + BN_EPS)
+        ref = np.asarray(ref) * g + (bn_bias - bn_mean * g)
+        ref = np.maximum(ref, 0.0)
+
+        variables = {
+            "params": {"backbone": {"stem0": {
+                "Conv_0": {"kernel": k},
+                "Norm_0": {"BatchNorm_0": {"scale": bn_scale, "bias": bn_bias}},
+            }}},
+            "batch_stats": {"backbone": {"stem0": {
+                "Norm_0": {"BatchNorm_0": {"mean": bn_mean, "var": bn_var}},
+            }}},
+        }
+        pack = prepack_s2d_stem(variables, mean, std, bgr2rgb=bgr2rgb,
+                                compute_dtype=jnp.float32)
+        got = np.asarray(s2d_stem_apply(jnp.asarray(x), pack))
+        assert got.shape == ref.shape, (got.shape, ref.shape)
+        np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_s2d_stem_engine_matches_base():
+    """compile_inference(s2d_stem=True): identical detections to the plain
+    fp32 engine (the transform is exact; only summation order differs)."""
+    det = _fast_stem_lfd()
+    variables = det.init(jax.random.PRNGKey(0), (64, 64))
+    rng = np.random.RandomState(4)
+    img = rng.randint(0, 255, (1, 64, 64, 3)).astype(np.uint8)
+    pre = make_device_preprocess((0.5, 0.5, 0.5), (0.5, 0.5, 0.5))
+    vhw = jnp.asarray([64.0, 64.0])
+    base = compile_inference(det, variables, (64, 64), "fp32", preprocess=pre,
+                             classification_threshold=0.01)
+    s2d = compile_inference(det, variables, (64, 64), "fp32", preprocess=pre,
+                            classification_threshold=0.01, s2d_stem=True)
+    a = base(jnp.asarray(img), vhw)
+    b = s2d(jnp.asarray(img), vhw)
+    assert int(a["count"][0]) == int(b["count"][0])
+    n = int(a["count"][0])
+    np.testing.assert_allclose(np.asarray(a["boxes"][0, :n]),
+                               np.asarray(b["boxes"][0, :n]), rtol=1e-4,
+                               atol=1e-3)
+    np.testing.assert_allclose(np.asarray(a["scores"][0, :n]),
+                               np.asarray(b["scores"][0, :n]), atol=1e-4)
+
+
+def test_s2d_stem_engine_serializes(tmp_path):
+    """s2d engines round-trip through engine files (the pack rides the
+    consts pytree)."""
+    from lfdtpu.deploy import load_engine, save_engine
+
+    det = _fast_stem_lfd()
+    variables = det.init(jax.random.PRNGKey(0), (64, 64))
+    rng = np.random.RandomState(5)
+    img = rng.randint(0, 255, (1, 64, 64, 3)).astype(np.uint8)
+    pre = make_device_preprocess((0.5, 0.5, 0.5), (0.5, 0.5, 0.5))
+    vhw = jnp.asarray([64.0, 64.0])
+    eng = compile_inference(det, variables, (64, 64), "bf16", preprocess=pre,
+                            classification_threshold=0.01, s2d_stem=True)
+    a = eng(jnp.asarray(img), vhw)
+    p = tmp_path / "s2d.lfde"
+    save_engine(eng, str(p))
+    b = load_engine(str(p))(jnp.asarray(img), vhw)
+    assert int(a["count"][0]) == int(b["count"][0])
+    n = int(a["count"][0])
+    np.testing.assert_allclose(np.asarray(a["boxes"][0, :n]),
+                               np.asarray(b["boxes"][0, :n]), atol=1e-3)
