@@ -368,3 +368,25 @@ def test_s2d_stem_engine_serializes(tmp_path):
     n = int(a["count"][0])
     np.testing.assert_allclose(np.asarray(a["boxes"][0, :n]),
                                np.asarray(b["boxes"][0, :n]), atol=1e-3)
+
+
+def test_s2d_stem_composes_with_split():
+    """split=True + s2d_stem=True: program 1 = s2d stem, program 2 = body;
+    detections match the plain single-program engine."""
+    det = _fast_stem_lfd()
+    variables = det.init(jax.random.PRNGKey(0), (64, 64))
+    rng = np.random.RandomState(6)
+    img = rng.randint(0, 255, (1, 64, 64, 3)).astype(np.uint8)
+    pre = make_device_preprocess((0.5, 0.5, 0.5), (0.5, 0.5, 0.5))
+    vhw = jnp.asarray([64.0, 64.0])
+    base = compile_inference(det, variables, (64, 64), "fp32", preprocess=pre,
+                             classification_threshold=0.01)
+    both = compile_inference(det, variables, (64, 64), "fp32", preprocess=pre,
+                             classification_threshold=0.01, s2d_stem=True,
+                             split=True)
+    a = base(jnp.asarray(img), vhw)
+    b = both(jnp.asarray(img), vhw)
+    assert int(a["count"][0]) == int(b["count"][0])
+    n = int(a["count"][0])
+    np.testing.assert_allclose(np.asarray(a["boxes"][0, :n]),
+                               np.asarray(b["boxes"][0, :n]), atol=1e-3)
