@@ -22,13 +22,16 @@ PRECISIONS = ["fp32", "bf16", "int8"]
 RESOLUTIONS = [(480, 640), (720, 1280), (1080, 1920), (2160, 3840)]
 
 
-def run_cell(model, precision, h, w, loops, timeout=2400):
+def run_cell(model, precision, h, w, loops, timeout=2400, engine_kwargs=None):
     cmd = [sys.executable, os.path.join(HERE, "bench_cell.py"),
            model, precision, str(h), str(w), str(loops)]
+    env = dict(os.environ)
+    if engine_kwargs:
+        env["LFD_BENCH_ENGINE_KWARGS"] = json.dumps(engine_kwargs)
     try:
         out = subprocess.run(
             cmd, capture_output=True, text=True, timeout=timeout,
-            cwd=os.path.join(HERE, ".."),
+            cwd=os.path.join(HERE, ".."), env=env,
         )
     except subprocess.TimeoutExpired:
         return dict(model=model, precision=precision, height=h, width=w,
@@ -48,7 +51,12 @@ def main():
     ap.add_argument("--out", default=os.path.join(HERE, "..", "bench_sweep_results.json"))
     ap.add_argument("--resolutions", default=None,
                     help="comma list of HxW, e.g. 720x1280,1080x1920")
+    ap.add_argument("--engine-kwargs", default=None,
+                    help='JSON compile_inference kwargs for every cell, '
+                         'e.g. \'{"s2d_stem": true}\' — use a separate '
+                         "--out per variant")
     args = ap.parse_args()
+    engine_kwargs = json.loads(args.engine_kwargs) if args.engine_kwargs else None
 
     global RESOLUTIONS
     if args.resolutions:
@@ -68,7 +76,8 @@ def main():
             for (h, w) in RESOLUTIONS:
                 if (model, precision, h, w) in done:
                     continue
-                r = run_cell(model, precision, h, w, args.loops)
+                r = run_cell(model, precision, h, w, args.loops,
+                             engine_kwargs=engine_kwargs)
                 results.append(r)
                 if "error" in r:
                     print(f"{model} {precision} {w}x{h}: ERROR {r['error'][:120]}",
