@@ -72,16 +72,26 @@ def main():
     # engine-variant kwargs (split / pallas_convs / pallas_stem) via env:
     #   LFD_BENCH_ENGINE_KWARGS='{"split": true, "pallas_convs": true}'
     extra = json.loads(os.environ.get("LFD_BENCH_ENGINE_KWARGS", "{}"))
+    # LFD_BENCH_BATCH=N: throughput mode — batched engine, per-image time
+    # is the per-call slope divided by the batch
+    batch = int(os.environ.get("LFD_BENCH_BATCH", "1"))
     engine = compile_inference(
         det, variables, (ph, pw), precision=precision, preprocess=preprocess,
-        act_scales=act_scales, **extra,
+        act_scales=act_scales, batch_size=batch, **extra,
     )
-    images = np.random.randint(0, 255, (1, ph, pw, 3), dtype=np.uint8)
+    images = np.random.randint(0, 255, (batch, ph, pw, 3), dtype=np.uint8)
     t_build = time.time()
     distinct = int(os.environ.get("LFD_BENCH_VARIANTS", "8"))
     r = timing_inference(engine, images, (h, w), warmup_loops=12,
                          timing_loops=loops if loops else None,
                          distinct_inputs=distinct)
+    if batch > 1:
+        for k in ("ms_per_image", "ms_mean", "ms_min", "ms_p25", "ms_p75",
+                  "ms_p95"):
+            if k in r:
+                r[k] = r[k] / batch
+        r["fps"] = 1000.0 / r["ms_per_image"]
+        r["batch"] = batch
     r.update(
         model=model_name, precision=precision, height=h, width=w,
         build_s=round(t_build - t0, 1), timing_s=round(time.time() - t_build, 1),
