@@ -24,15 +24,25 @@ __all__ = [
 
 def crop_from_image(image, crop_region):
     """Zero-padded crop; region (x, y, w, h) may exceed the image
-    (`region_sampler.py:280-300`)."""
+    (`region_sampler.py:280-300`).
+
+    Divergence from the reference: a region lying ENTIRELY right of /
+    below the image makes the destination stop negative, which Python
+    slicing wraps around — the reference raises ValueError there
+    (`region_sampler.py:297-298`; unreachable from its own samplers,
+    whose crops always overlap a target box). We clamp and return the
+    all-zeros crop instead (tests/test_data_reference_parity.py pins
+    both behaviors)."""
     im_h, im_w = image.shape[:2]
     cx, cy, cw, ch = crop_region
     if image.ndim == 3:
         out = np.zeros((ch, cw, image.shape[2]), dtype=image.dtype)
     else:
         out = np.zeros((ch, cw), dtype=image.dtype)
-    out[max(0, -cy) : min(ch, im_h - cy), max(0, -cx) : min(cw, im_w - cx)] = image[
-        max(0, cy) : min(im_h, ch + cy), max(0, cx) : min(im_w, cw + cx)
+    out[max(0, -cy) : max(0, min(ch, im_h - cy)),
+        max(0, -cx) : max(0, min(cw, im_w - cx))] = image[
+        max(0, cy) : max(0, min(im_h, ch + cy)),
+        max(0, cx) : max(0, min(im_w, cw + cx))
     ]
     return out
 
