@@ -115,6 +115,12 @@ def cells():
     wall("batch8-L-bf16-480", "WIDERFACE-L", "bf16", 480, 640, batch=8)
     wall("batch4-TTS-bf16-1080", "TT100K-S", "bf16", 1080, 1920, batch=4)
 
+    # --- phase E2: TT100K fused int8 (reference README.md:118-119 rows) ---
+    wall("int8-fused-TTS-1080", "TT100K-S", "int8", 1080, 1920)
+    wall("int8-fused-TTS-720", "TT100K-S", "int8", 720, 1280)
+    wall("int8-fused-TTL-1080", "TT100K-L", "int8", 1080, 1920)
+    wall("int8-fused-TTL-720", "TT100K-L", "int8", 720, 1280)
+
     # --- phase E: best-variant cross-checks at other sizes ---
     wall("s2d-L-bf16-2160", "WIDERFACE-L", "bf16", 2160, 3840, loops=200,
          kwargs={"s2d_stem": True}, timeout=3600)
