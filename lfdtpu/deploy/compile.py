@@ -69,6 +69,7 @@ def compile_inference(
     pallas_stem=False,
     s2d_stem=False,
     split=False,
+    mesh=None,
 ):
     """Build ("compile") one inference engine.
 
@@ -110,6 +111,15 @@ def compile_inference(
     requirement back through the convs, so Pallas<->XLA junction relayouts
     (the reason pallas_convs defaults off; BENCH.md) become free, at the
     cost of one extra per-program dispatch (~1 ms on the tunnel backend).
+
+    mesh: a `jax.sharding.Mesh` (from `lfdtpu.parallel.make_mesh`) to run
+    the ONE engine program SPMD over multiple chips — the multi-chip
+    inference mode the reference has no analogue of. With a `spatial`
+    axis, the image HEIGHT is sharded across it and GSPMD inserts the
+    conv halo exchanges over ICI (for 4K/8K frames that exceed one chip
+    or to cut latency); the `data` axis shards the batch. Weights and
+    point grids replicate; the decoded output is replicated. Exclusive
+    with `split` (one program) and not serializable via engine_io.
     """
     import dataclasses
 
@@ -156,17 +166,38 @@ def compile_inference(
         raise ValueError(f"unknown precision {precision}")
     weight_scales = None
 
+    if mesh is not None and mesh.size > 1:
+        if split:
+            raise ValueError("mesh engines are one SPMD program; use split=False")
+        from jax.sharding import NamedSharding
+        from jax.sharding import PartitionSpec as _P
+
+        from ..parallel.mesh import DATA_AXIS, SPATIAL_AXIS
+
+        _rep = NamedSharding(mesh, _P())
+        if SPATIAL_AXIS in mesh.axis_names:
+            # batch over `data` (if present), image HEIGHT over `spatial`:
+            # GSPMD emits the stride/halo exchanges for every conv
+            _bx = DATA_AXIS if DATA_AXIS in mesh.axis_names else None
+            _img_sharding = NamedSharding(mesh, _P(_bx, SPATIAL_AXIS))
+        else:
+            _img_sharding = NamedSharding(mesh, _P(DATA_AXIS))
+        _put = lambda v: jax.device_put(v, _rep)
+    else:
+        mesh = None
+        _put = jax.device_put
+
     # weights and point-grid constants are jit ARGUMENTS held on device by
     # the Engine wrapper: closing over them would embed them as compiled-in
     # constants that this backend re-uploads on every call (~30 ms/call for
-    # a 1.2M-param model — measured).
-    run_vars = jax.device_put(run_vars)
+    # a 1.2M-param model — measured). Under a mesh they replicate.
+    run_vars = _put(run_vars)
     level_arrays = {
-        k: jax.device_put(v)
+        k: _put(v)
         for k, v in detector.level_arrays(input_hw).items()
     }
     if weight_scales is not None:
-        weight_scales = {k: jax.device_put(v) for k, v in weight_scales.items()}
+        weight_scales = {k: _put(v) for k, v in weight_scales.items()}
 
     if pallas_convs == "auto":
         # Default OFF for now: the pair kernel alone is 3.7x the XLA conv,
@@ -180,7 +211,7 @@ def compile_inference(
         from .pallas_net import prepack_pair_weights
 
         weight_packs = {
-            k: jax.device_put(v)
+            k: _put(v)
             for k, v in prepack_pair_weights(run_vars).items()
         }
         if not weight_packs:
@@ -206,7 +237,7 @@ def compile_inference(
                 "pallas_stem: the backbone's stem0 is not a "
                 "ConvNormAct(64, k3, s2, BatchNorm) on a 3-channel input"
             )
-        stem_pack = tuple(jax.device_put(v) for v in stem_pack)
+        stem_pack = tuple(_put(v) for v in stem_pack)
     s2d_pack = None
     if s2d_stem:
         from .s2d_net import prepack_s2d_stem
@@ -232,7 +263,7 @@ def compile_inference(
                 "s2d_stem: the backbone's stem0 is not a "
                 "ConvNormAct(3x3/s2, BatchNorm) on a 3-channel input"
             )
-        s2d_pack = tuple(jax.device_put(v) for v in s2d_pack)
+        s2d_pack = tuple(_put(v) for v in s2d_pack)
     if split and precision == "int8":
         raise ValueError("split engines do not support int8")
     if split and not hasattr(detector.net.backbone, "stem_forward"):
@@ -278,9 +309,8 @@ def compile_inference(
         )
         return jax.vmap(decode)(cls_o, reg_o)
 
-    @jax.jit
-    def _engine(run_vars, level_arrays, weight_scales, weight_packs,
-                stem_pack, s2d_pack, images, valid_hw):
+    def _engine_impl(run_vars, level_arrays, weight_scales, weight_packs,
+                     stem_pack, s2d_pack, images, valid_hw):
         x = _front(images, stem_pack, s2d_pack)
         if precision == "int8":
             from .int8_net import int8_fused_apply
@@ -293,6 +323,18 @@ def compile_inference(
             with _net_ctx(weight_packs, stem_pack, s2d_pack):
                 cls_o, reg_o = detector.net.apply(run_vars, x, train=False)
         return _decode(cls_o, reg_o, level_arrays, valid_hw)
+
+    if mesh is None:
+        _engine = jax.jit(_engine_impl)
+    else:
+        # SPMD engine: consts replicated, images sharded (batch over
+        # `data`, height over `spatial`), decoded results replicated.
+        # GSPMD inserts the conv halo exchanges / gathers over ICI.
+        _engine = jax.jit(
+            _engine_impl,
+            in_shardings=(_rep,) * 6 + (_img_sharding, _rep),
+            out_shardings=_rep,
+        )
 
     @jax.jit
     def _stem_prog(run_vars, stem_pack, s2d_pack, images):
@@ -317,6 +359,7 @@ def compile_inference(
         precision_mode = precision
         input_resolution = input_hw
         is_split = bool(split)
+        spmd_mesh = mesh
 
         def __call__(self, images, valid_hw):
             vhw = jnp.asarray(valid_hw, jnp.float32)
@@ -334,6 +377,11 @@ def compile_inference(
                 raise ValueError(
                     "split engines are two programs; serialize with "
                     "split=False (same math, one program)"
+                )
+            if mesh is not None:
+                raise ValueError(
+                    "mesh (SPMD) engines are topology-bound; serialize "
+                    "with mesh=None and pass mesh at load-site rebuild"
                 )
             return _engine, (run_vars, level_arrays, weight_scales,
                              weight_packs, stem_pack, s2d_pack)

@@ -390,3 +390,42 @@ def test_s2d_stem_composes_with_split():
     n = int(a["count"][0])
     np.testing.assert_allclose(np.asarray(a["boxes"][0, :n]),
                                np.asarray(b["boxes"][0, :n]), atol=1e-3)
+
+
+def test_spmd_mesh_engine_matches_single_device():
+    """compile_inference(mesh=...): the SPMD engine (image height sharded
+    over the `spatial` axis, GSPMD halo exchanges) returns the same
+    detections as the single-device engine. Runs on the 8-virtual-device
+    CPU mesh from conftest; the program is topology-generic."""
+    import pytest
+
+    from lfdtpu.parallel import make_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual mesh")
+    det, variables, img = _engine_setup()
+    pre = make_device_preprocess((0.5, 0.5, 0.5), (0.5, 0.5, 0.5))
+    vhw = jnp.asarray([60.0, 57.0])  # exercise point masking under sharding
+    base = compile_inference(det, variables, (64, 64), "fp32", preprocess=pre,
+                             classification_threshold=0.01)
+    mesh = make_mesh(jax.devices()[:8], spatial=4)  # (data=2, spatial=4)
+    spmd = compile_inference(det, variables, (64, 64), "fp32", preprocess=pre,
+                             classification_threshold=0.01, batch_size=2,
+                             mesh=mesh)
+    assert spmd.spmd_mesh is mesh
+    img2 = np.concatenate([img, img[:, ::-1]], axis=0)
+    a0 = base(jnp.asarray(img2[:1]), vhw)
+    a1 = base(jnp.asarray(img2[1:]), vhw)
+    b = spmd(img2, vhw)
+    for i, a in enumerate((a0, a1)):
+        n = int(a["count"][0])
+        assert int(b["count"][i]) == n
+        np.testing.assert_allclose(np.asarray(b["boxes"][i, :n]),
+                                   np.asarray(a["boxes"][0, :n]),
+                                   rtol=1e-4, atol=1e-3)
+        np.testing.assert_allclose(np.asarray(b["scores"][i, :n]),
+                                   np.asarray(a["scores"][0, :n]),
+                                   rtol=1e-4, atol=1e-4)
+    with pytest.raises(ValueError):
+        compile_inference(det, variables, (64, 64), "fp32", preprocess=pre,
+                          mesh=mesh, split=True)

@@ -48,3 +48,15 @@ def test_synthetic_lfdv2q():
 def test_synthetic_fcos():
     m = run_synthetic("fcos", epochs=60, threshold=0.5)
     assert m["mAP_50"] > 0.5
+
+
+@pytest.mark.slow
+def test_int8_engine_preserves_synthetic_quality():
+    """The accuracy leg of int8 parity: a TRT-style-calibrated int8
+    engine must hold the fp32 engine's mAP_50 on the synthetic val set
+    (the reference's int8 mode preserves accuracy through calibration;
+    its README publishes int8 rows without an accuracy asterisk)."""
+    m = run_synthetic("lfd", epochs=60, threshold=0.5, engine_quality=True)
+    q = m["engine_mAP_50"]
+    assert q["fp32"] > 0.5
+    assert q["int8"] >= q["fp32"] - 0.05, q

@@ -185,9 +185,44 @@ def per_bucket_recall(det, variables, val_samples, buckets,
     return hits, totals
 
 
+def engine_quality_eval(det, variables, train_samples, val_samples, ann_path,
+                        size, precisions=("fp32", "int8")):
+    """mAP_50 of the trained model through DEPLOYMENT ENGINES, per
+    precision. The int8 engine is calibrated TRT-style on real training
+    frames (`calibrate_module_amax`); comparing its mAP against the fp32
+    engine's is the accuracy leg of int8 parity (the reference's TRT int8
+    mode preserves mAP through calibration, `build_engine.py:74-152`)."""
+    from lfdtpu.deploy import compile_inference, make_device_preprocess
+    from lfdtpu.deploy.int8_net import calibrate_module_amax
+    from lfdtpu.evaluation import COCOEvaluator
+
+    pre = make_device_preprocess((0.5, 0.5, 0.5), (0.5, 0.5, 0.5))
+    train_imgs = [s["image"] for s in train_samples.values()]
+    calib_batches = [
+        np.stack(train_imgs[i : i + 8]) for i in range(0, 32, 8)
+    ]
+    act_scales = calibrate_module_amax(det, variables, calib_batches,
+                                       preprocess=pre)
+    maps = {}
+    for prec in precisions:
+        engine = compile_inference(
+            det, variables, (size, size), precision=prec, preprocess=pre,
+            act_scales=act_scales if prec == "int8" else None,
+            classification_threshold=0.05,
+        )
+        ev = COCOEvaluator(ann_path, {0: 1, 1: 2})
+        for s in val_samples.values():
+            rows = det.predict_for_single_image_with_engine(engine, s["image"])
+            ev.update([rows], [{"image_id": s["image_id"]}])
+        ev.evaluate()
+        maps[prec] = float(ev.metrics.get("mAP_50", 0.0))
+    print("ENGINE QUALITY (mAP_50 per precision):", maps)
+    return maps
+
+
 def run_synthetic(family="lfd", multiscale=False, epochs=60, threshold=0.5,
                   recall_threshold=0.6, seed=0, base_lr=0.05,
-                  clip_whole_run=False):
+                  clip_whole_run=False, engine_quality=False):
     from lfdtpu.data import (
         Compose, DataLoader, IdleRegionSampler, RandomBBoxCropRegionSampler,
         RandomBBoxCropWithRangeSelectionRegionSampler, RandomDatasetSampler,
@@ -268,6 +303,10 @@ def run_synthetic(family="lfd", multiscale=False, epochs=60, threshold=0.5,
                 f"range {buckets[bi]} recall {r:.2f} < {recall_threshold}"
             )
         metrics["per_range_recall"] = recalls.tolist()
+    if engine_quality:
+        metrics["engine_mAP_50"] = engine_quality_eval(
+            det, ex.variables, train_samples, val_samples, ann_path, size
+        )
     print("SYNTHETIC E2E OK")
     return metrics
 
