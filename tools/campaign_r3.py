@@ -70,6 +70,14 @@ def cells():
             args=[model, prec, str(h), str(w)], env={}, timeout=timeout,
         ))
 
+    # --- phase 0: the verify-skill drive (end-to-end train + predict +
+    # every engine flavor round-tripped on the REAL chip) — first so the
+    # round's code is verified the moment the tunnel returns ---
+    out.append(dict(
+        id="verify-drive", tool="verify_drive.py", marker="DRIVE_RESULT ",
+        args=[], env={}, timeout=1800,
+    ))
+
     # --- phase A: headline engine variants (VERDICT #1, #2, #6) ---
     wall("int8-fused-L-1080", "WIDERFACE-L", "int8", 1080, 1920)
     wall("split-pallas-L-bf16-1080", "WIDERFACE-L", "bf16", 1080, 1920,

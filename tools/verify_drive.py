@@ -1,0 +1,182 @@
+"""End-to-end verification drive on the REAL TPU chip (the repo's
+verify-skill recipe, .claude/skills/verify/SKILL.md): trains a tiny LFD
+on a synthetic scene, checks convergence + predict IoU, probes the
+odd-size grayscale path, then round-trips every engine flavor
+(fp32/bf16/int8-fused/split/s2d) against the in-process detections.
+
+Prints `DRIVE_RESULT {json}` on success so tools/campaign_r3.py can run
+it as a campaign cell the moment the tunnel returns.
+"""
+import json
+import os
+import sys
+
+sys.path.append(os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+import tempfile
+import time
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from lfdtpu.models.lfd_resnet import LFDResNet
+from lfdtpu.models.necks import SimpleNeck
+from lfdtpu.models.heads import LFDHead
+from lfdtpu.models.detector import LFD
+from lfdtpu.ops.loss_wrappers import FocalLoss, IoULoss
+from lfdtpu.execution.optim import SGD
+
+backbone = LFDResNet(block_mode="faster", stem_mode="faster", body_mode=None,
+                     stem_channels=64, body_architecture=(2, 1),
+                     body_channels=(64, 64), out_indices=((0, 1), (1, 0)),
+                     norm_cfg=dict(type="BatchNorm2d"))
+strides = tuple(backbone.num_output_strides_list)
+neck = SimpleNeck(num_neck_channels=64, num_input_strides_list=strides,
+                  norm_cfg=dict(type="BatchNorm2d"))
+head = LFDHead(num_classes=1, num_heads=len(strides), num_head_channels=64,
+               num_conv_layers=2, norm_cfg=dict(type="GroupNorm", num_groups=16),
+               share_head_flag=True, merge_path_flag=True,
+               classification_loss_type="FocalLoss",
+               regression_loss_type="IoULoss")
+det = LFD(backbone=backbone, neck=neck, head=head, num_classes=1,
+          regression_ranges=((0, 32), (32, 128)), point_strides=strides,
+          classification_loss_func=FocalLoss(gamma=2.0, alpha=0.25),
+          regression_loss_func=IoULoss(eps=1e-6),
+          distance_to_bbox_mode="sigmoid")
+
+scene = np.zeros((128, 128, 3), np.float32)
+scene[30:80, 40:104] = 0.9  # rect x1=40 y1=30 w=64 h=50
+gt = np.array([[40, 30, 64, 50]], np.float32)
+
+imgs = jnp.asarray(np.stack([scene] * 4))
+gtb = np.zeros((4, 8, 4), np.float32); gtb[:, 0] = gt
+gtl = np.zeros((4, 8), np.int64)
+msk = np.zeros((4, 8), bool); msk[:, 0] = True
+
+variables = det.init(jax.random.PRNGKey(0), input_hw=(128, 128), train=True)
+opt = SGD(learning_rate=0.05, momentum=0.9)
+ostate = opt.init(variables["params"])
+
+@jax.jit
+def step(variables, ostate, imgs, gtb, gtl, msk):
+    def loss_fn(params):
+        vs = dict(variables, params=params)
+        outs, new_vars = det.net.apply(vs, imgs, train=True, mutable=["batch_stats"])
+        losses = det.get_loss(outs, jnp.asarray(gtb), jnp.asarray(gtl),
+                              jnp.asarray(msk), (128, 128))
+        return losses["loss"], new_vars
+    (loss, new_vars), grads = jax.value_and_grad(loss_fn, has_aux=True)(variables["params"])
+    updates, ostate2 = opt.update(grads, ostate, variables["params"], 0.05)
+    params = jax.tree.map(lambda p, u: p + u, variables["params"], updates)
+    return dict(variables, params=params, batch_stats=new_vars["batch_stats"]), ostate2, loss
+
+WORK = tempfile.mkdtemp(prefix="lfd_drive_")
+
+t0 = time.time()
+loss0 = None
+for i in range(200):
+    variables, ostate, loss = step(variables, ostate, imgs, gtb, gtl, msk)
+    if i == 0:
+        loss0 = float(loss)
+loss_final = float(loss)
+print(f"loss {loss0:.3f} -> {loss_final:.3f} in {time.time()-t0:.0f}s")
+assert loss_final < 0.3, f"loss did not converge: {loss_final}"
+
+rows = det.predict_for_single_image(variables, scene, classification_threshold=0.3)
+print("detections:", rows[:3])
+def iou(a, b):
+    ax1, ay1, aw, ah = a; bx1, by1, bw, bh = b
+    ax2, ay2 = ax1 + aw, ay1 + ah; bx2, by2 = bx1 + bw, by1 + bh
+    ix = max(0, min(ax2, bx2) - max(ax1, bx1)); iy = max(0, min(ay2, by2) - max(ay1, by1))
+    inter = ix * iy
+    return inter / (aw * ah + bw * bh - inter)
+assert rows, "no detections"
+best = max(iou(r[2:6], (40, 30, 64, 50)) for r in rows)
+print("best IoU:", best)
+assert best > 0.5, best
+
+# probe: odd-size grayscale uint8
+gray = (np.random.RandomState(0).rand(97, 113) * 255).astype(np.uint8)
+rows2 = det.predict_for_single_image(variables, gray, classification_threshold=0.9)
+print("gray probe detections:", len(rows2))
+print("VERIFY OK")
+
+# engine round-trip: compile -> save -> load in-process -> same boxes
+from lfdtpu.deploy import compile_inference, save_engine, load_engine, predict_padded
+from lfdtpu.deploy.compile import make_device_preprocess
+
+# uint8 scene + x/255 preprocess reproduces the float training input
+scene_u8 = (scene * 255).astype(np.uint8)
+eng = compile_inference(det, variables, (128, 128), precision="fp32",
+                        preprocess=make_device_preprocess((0.0, 0.0, 0.0), (1.0, 1.0, 1.0)),
+                        classification_threshold=0.3)
+d1 = eng(scene_u8[None], np.asarray([128, 128], np.float32))
+save_engine(eng, os.path.join(WORK, "engine.lfde"))
+eng2 = load_engine(os.path.join(WORK, "engine.lfde"))
+d2 = predict_padded(eng2, scene_u8)
+n1 = int(np.asarray(d1["count"])[0]); n2 = int(np.asarray(d2["count"])[0])
+b1 = np.asarray(d1["boxes"])[0][:n1]; b2 = np.asarray(d2["boxes"])[0][:n2]
+print("engine counts:", n1, n2)
+assert n1 == n2 and n1 >= 1, (n1, n2)
+assert np.allclose(b1, b2, atol=1e-3), (b1, b2)
+print("ENGINE ROUNDTRIP OK")
+
+# bf16 engine round-trip (bf16 consts bit-cast through the npz container)
+engb = compile_inference(det, variables, (128, 128), precision="bf16",
+                         preprocess=make_device_preprocess((0.0, 0.0, 0.0), (1.0, 1.0, 1.0)),
+                         classification_threshold=0.3)
+db1 = engb(scene_u8[None], np.asarray([128, 128], np.float32))
+save_engine(engb, os.path.join(WORK, "engine_bf16.lfde"))
+db2 = predict_padded(load_engine(os.path.join(WORK, "engine_bf16.lfde")), scene_u8)
+nb1 = int(np.asarray(db1["count"])[0]); nb2 = int(np.asarray(db2["count"])[0])
+assert nb1 == nb2 >= 1, (nb1, nb2)
+assert np.allclose(np.asarray(db1["boxes"])[0][:nb1], np.asarray(db2["boxes"])[0][:nb2], atol=1e-2)
+print("BF16 ENGINE ROUNDTRIP OK")
+
+# int8 FUSED engine: detections must match fp32 on the trained scene
+eng8 = compile_inference(det, variables, (128, 128), precision="int8",
+                         preprocess=make_device_preprocess((0.0, 0.0, 0.0), (1.0, 1.0, 1.0)),
+                         classification_threshold=0.3)
+d8 = eng8(scene_u8[None], np.asarray([128, 128], np.float32))
+n8 = int(np.asarray(d8["count"])[0])
+b8 = np.asarray(d8["boxes"])[0][:n8]
+print("int8 engine count:", n8, "fp32 count:", n1)
+assert n8 >= 1, n8
+best8 = 0.0
+for bb in b8:
+    x1, y1, x2, y2 = bb
+    best8 = max(best8, iou((x1, y1, x2 - x1, y2 - y1), (40, 30, 64, 50)))
+print("int8 best IoU vs GT:", best8)
+assert best8 > 0.5, best8
+# int8 engine serialization round-trip
+save_engine(eng8, os.path.join(WORK, "engine_int8.lfde"))
+d8b = predict_padded(load_engine(os.path.join(WORK, "engine_int8.lfde")), scene_u8)
+n8b = int(np.asarray(d8b["count"])[0])
+assert n8b == n8, (n8, n8b)
+assert np.allclose(np.asarray(d8b["boxes"])[0][:n8b], b8, atol=1e-2)
+print("INT8 FUSED ENGINE OK")
+
+# split two-program engine (round 3): same detections as single-program fp32
+engs = compile_inference(det, variables, (128, 128), precision="fp32",
+                         preprocess=make_device_preprocess((0.0, 0.0, 0.0), (1.0, 1.0, 1.0)),
+                         classification_threshold=0.3, split=True)
+ds = engs(scene_u8[None], np.asarray([128, 128], np.float32))
+ns = int(np.asarray(ds["count"])[0])
+assert ns == n1, (ns, n1)
+assert np.allclose(np.asarray(ds["boxes"])[0][:ns], b1, atol=1e-3)
+print("SPLIT ENGINE OK")
+
+# s2d stem engine (round 3): space-to-depth folded stem, same detections
+engd = compile_inference(det, variables, (128, 128), precision="fp32",
+                         preprocess=make_device_preprocess((0.0, 0.0, 0.0), (1.0, 1.0, 1.0)),
+                         classification_threshold=0.3, s2d_stem=True)
+dd = engd(scene_u8[None], np.asarray([128, 128], np.float32))
+nd = int(np.asarray(dd["count"])[0])
+assert nd == n1, (nd, n1)
+assert np.allclose(np.asarray(dd["boxes"])[0][:nd], b1, atol=1e-3)
+print("S2D STEM ENGINE OK")
+
+print("DRIVE_RESULT " + json.dumps(dict(
+    loss0=round(loss0, 3), loss_final=round(loss_final, 4),
+    best_iou=round(float(best), 3), int8_best_iou=round(float(best8), 3),
+    engines_ok=["fp32", "bf16", "int8", "split", "s2d"],
+)))
