@@ -1,0 +1,116 @@
+#!/usr/bin/env python
+"""Fold campaign_r3.jsonl cells into bench_sweep_results.json and print a
+digest for BENCH.md.
+
+- Base cells (no engine_kwargs, batch 1) replace the matching
+  (model, precision, height, width) row of bench_sweep_results.json —
+  the fused-int8 refresh that retires the round-2 unfused int8 table.
+- Variant cells (engine_kwargs: split/pallas/s2d) and batch-throughput
+  cells are NOT folded into the base table; they are printed grouped for
+  the BENCH.md variant/throughput sections.
+- Device-time cells (ms_device) print alongside their wall-slope base
+  cell so each losing cell carries device-only evidence (VERDICT r2 #3).
+
+Run: python tools/merge_campaign_results.py [--write]
+"""
+import json
+import os
+import sys
+
+REPO = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
+
+
+def load_jsonl(path):
+    rows = []
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if line:
+                rows.append(json.loads(line))
+    # last result per id wins (retries append)
+    by_id = {}
+    for r in rows:
+        by_id[r["id"]] = r
+    return list(by_id.values())
+
+
+def main():
+    write = "--write" in sys.argv
+    paths = [a for a in sys.argv[1:] if not a.startswith("--")]
+    campaign = load_jsonl(paths[0] if paths
+                          else os.path.join(REPO, "campaign_r3.jsonl"))
+    sweep_path = os.path.join(REPO, "bench_sweep_results.json")
+    with open(sweep_path) as f:
+        sweep = json.load(f)
+
+    errors = [r for r in campaign if "error" in r]
+    base, variants, batches, device, other = [], [], [], [], []
+    for r in campaign:
+        if "error" in r:
+            continue
+        if "ms_device" in r:
+            device.append(r)
+        elif r.get("engine_kwargs"):
+            variants.append(r)
+        elif r.get("batch", 1) > 1:
+            batches.append(r)
+        elif "ms_per_image" in r:
+            base.append(r)
+        else:
+            other.append(r)
+
+    key = lambda r: (r["model"], r["precision"], r["height"], r["width"])
+    by_key = {key(r): i for i, r in enumerate(sweep)}
+    replaced, added = 0, 0
+    for r in base:
+        row = {k: v for k, v in r.items() if k != "id"}
+        if key(r) in by_key:
+            sweep[by_key[key(r)]] = row
+            replaced += 1
+        else:
+            sweep.append(row)
+            added += 1
+
+    print(f"campaign cells: {len(campaign)}  errors: {len(errors)}")
+    for r in errors:
+        print(f"  ERROR {r['id']}: {str(r['error'])[:160]}")
+    print(f"base cells folded into sweep: {replaced} replaced, {added} added")
+
+    if variants:
+        print("\n== engine variants (BENCH.md variant section) ==")
+        for r in sorted(variants, key=lambda r: r["id"]):
+            kw = ",".join(k for k, v in r["engine_kwargs"].items() if v)
+            print(f"  {r['model']} {r['precision']} {r['width']}x{r['height']}"
+                  f" [{kw}]: {r['ms_per_image']:.2f} ms"
+                  f" (IQR {r.get('ms_p25', 0):.2f}-{r.get('ms_p75', 0):.2f})")
+    if batches:
+        print("\n== batch throughput ==")
+        for r in sorted(batches, key=lambda r: r["id"]):
+            print(f"  {r['model']} {r['precision']} {r['width']}x{r['height']}"
+                  f" batch={r['batch']}: {r['ms_per_image']:.2f} ms/image"
+                  f" ({r['fps']:.0f} img/s)")
+    if device:
+        print("\n== device-only time vs wall slope (losing-cell evidence) ==")
+        for r in sorted(device, key=lambda r: r["id"]):
+            k = key(r)
+            wall = next((s for s in sweep
+                         if (s["model"], s["precision"], s["height"],
+                             s["width"]) == k), None)
+            ws = f"{wall['ms_per_image']:.2f}" if wall else "?"
+            print(f"  {r['model']} {r['precision']} {r['width']}x{r['height']}:"
+                  f" device {r['ms_device']:.2f} ms | wall slope {ws} ms")
+    if other:
+        print("\n== other cells ==")
+        for r in other:
+            print(f"  {r['id']}: {json.dumps({k: v for k, v in r.items() if k != 'id'})[:200]}")
+
+    if write:
+        with open(sweep_path, "w") as f:
+            json.dump(sweep, f, indent=1)
+        print(f"\nwrote {sweep_path} ({len(sweep)} rows)")
+    else:
+        print("\n(dry run; pass --write to update bench_sweep_results.json)")
+
+
+if __name__ == "__main__":
+    main()
