@@ -73,8 +73,11 @@ def compile_inference(
 ):
     """Build ("compile") one inference engine.
 
-    Returns a jitted fn(images (B, H, W, C) uint8/float, valid_hw (2,) f32)
+    Returns a jitted fn(images (B, H, W, C) uint8/float, valid_hw f32)
     -> decoded dict with fixed-shape boxes/scores/labels/count per image.
+    valid_hw is (2,) when every image shares one valid extent, or (B, 2)
+    with per-image extents for mixed-size batched serving (each image
+    zero-padded into the same engine bucket).
     Call `.lower(...).compile()` happens on first invocation; use
     latency.timing_inference for warmup-excluded measurement.
 
@@ -303,6 +306,14 @@ def compile_inference(
     def _decode(cls_o, reg_o, level_arrays, valid_hw):
         cls_o = cls_o.astype(jnp.float32)
         reg_o = reg_o.astype(jnp.float32)
+        if valid_hw.ndim == 2:
+            # per-image valid extents (B, 2): mixed-size batched serving,
+            # each image padded into the same engine bucket
+            decode = lambda c, r, v: detector.decode_single(
+                (c, r), input_hw, (v[0], v[1]), spec,
+                level_arrays=level_arrays,
+            )
+            return jax.vmap(decode, in_axes=(0, 0, 0))(cls_o, reg_o, valid_hw)
         decode = lambda c, r: detector.decode_single(
             (c, r), input_hw, (valid_hw[0], valid_hw[1]), spec,
             level_arrays=level_arrays,

@@ -535,3 +535,47 @@ class LFD:
         padded[:h, :w] = image
         decoded = engine(padded[None], np.asarray([h, w], np.float32))
         return detections_to_lists({k: v[0] for k, v in decoded.items()})
+
+    def predict_for_batch_with_engine(self, engine, images, aug_pipeline=None):
+        """Batched engine predict for throughput serving (no reference
+        analogue — `lfd.py`'s TRT path is single-image only). Each image is
+        zero-padded into the engine's input bucket; per-image valid extents
+        ride the engine's (B, 2) valid_hw so decode masks each image's own
+        padded region. The batch must match the engine's batch_size.
+
+        images: list of paths or HWC numpy arrays (BGR).
+        Returns one [[class_label, score, x1, y1, w, h], ...] per image.
+        """
+        import cv2
+
+        eh, ew = engine.input_resolution
+        processed = []
+        for image in images:
+            if isinstance(image, str):
+                image = cv2.imread(image, cv2.IMREAD_UNCHANGED)
+                assert image is not None
+            if aug_pipeline is not None:
+                from ..data.sample import Sample
+
+                sample = Sample()
+                sample["image"] = image
+                image = aug_pipeline(sample)["image"]
+            image = np.asarray(image)
+            if image.ndim == 2:
+                image = np.tile(image[..., None], (1, 1, 3))
+            h, w = image.shape[:2]
+            assert h <= eh and w <= ew, (
+                f"image {h}x{w} exceeds engine resolution {eh}x{ew}"
+            )
+            processed.append(image)
+        batch = np.zeros((len(processed), eh, ew, 3), processed[0].dtype)
+        hws = np.zeros((len(processed), 2), np.float32)
+        for i, image in enumerate(processed):
+            h, w = image.shape[:2]
+            batch[i, :h, :w] = image
+            hws[i] = (h, w)
+        decoded = engine(batch, hws)
+        return [
+            detections_to_lists({k: v[i] for k, v in decoded.items()})
+            for i in range(len(images))
+        ]

@@ -429,3 +429,29 @@ def test_spmd_mesh_engine_matches_single_device():
     with pytest.raises(ValueError):
         compile_inference(det, variables, (64, 64), "fp32", preprocess=pre,
                           mesh=mesh, split=True)
+
+
+def test_batched_engine_predict_mixed_sizes():
+    """predict_for_batch_with_engine: per-image (B, 2) valid_hw — a batch
+    of differently-sized images padded into one engine bucket returns the
+    same rows as predict_for_single_image_with_engine per image."""
+    det, variables, _ = _engine_setup()
+    pre = make_device_preprocess((0.5, 0.5, 0.5), (0.5, 0.5, 0.5))
+    rng = np.random.RandomState(1)
+    imgs = [
+        rng.randint(0, 255, (64, 64, 3)).astype(np.uint8),
+        rng.randint(0, 255, (48, 57, 3)).astype(np.uint8),
+        rng.randint(0, 255, (33, 64, 3)).astype(np.uint8),
+    ]
+    single = compile_inference(det, variables, (64, 64), "fp32",
+                               preprocess=pre, classification_threshold=0.01)
+    batched = compile_inference(det, variables, (64, 64), "fp32",
+                                preprocess=pre, classification_threshold=0.01,
+                                batch_size=3)
+    rows_b = det.predict_for_batch_with_engine(batched, imgs)
+    for img, rows in zip(imgs, rows_b):
+        rows_s = det.predict_for_single_image_with_engine(single, img)
+        assert len(rows) == len(rows_s), (len(rows), len(rows_s))
+        np.testing.assert_allclose(np.asarray(rows, np.float32),
+                                   np.asarray(rows_s, np.float32),
+                                   rtol=1e-4, atol=1e-3)
