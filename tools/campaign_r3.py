@@ -129,6 +129,16 @@ def cells():
     wall("int8-fused-TTL-1080", "TT100K-L", "int8", 1080, 1920)
     wall("int8-fused-TTL-720", "TT100K-L", "int8", 720, 1280)
 
+    # --- phase F: measured train step at the reference training config
+    # (crop 480, batch 64 — `WIDERFACE_LFD_S.py:168-189`); turns BENCH.md's
+    # "~3 ms device step" attribution into a measured row ---
+    for model, tag in [("WIDERFACE-S", "S"), ("WIDERFACE-L", "L")]:
+        out.append(dict(
+            id=f"trainstep-{tag}-b64-480", tool="bench_train_step.py",
+            marker="TRAIN_RESULT ", args=[model, "64", "480", "20"],
+            env={}, timeout=2400,
+        ))
+
     # --- phase E: best-variant cross-checks at other sizes ---
     wall("s2d-L-bf16-2160", "WIDERFACE-L", "bf16", 2160, 3840, loops=200,
          kwargs={"s2d_stem": True}, timeout=3600)
