@@ -52,7 +52,7 @@ def main():
             device.append(r)
         elif r.get("engine_kwargs"):
             variants.append(r)
-        elif r.get("batch", 1) > 1:
+        elif "ms_per_image" in r and r.get("batch", 1) > 1:
             batches.append(r)
         elif "ms_per_image" in r:
             base.append(r)
