@@ -398,10 +398,14 @@ def compile_inference(
                              weight_packs, stem_pack, s2d_pack)
 
         def example_args(self):
+            # batch engines serialize with per-image (B, 2) valid extents
+            # (the batched-serving shape); loaded engines broadcast a (2,)
+            # valid_hw up to it (engine_io.LoadedEngine)
             h, w = input_hw
+            vhw_shape = (batch_size, 2) if batch_size > 1 else (2,)
             return (
                 np.zeros((batch_size, h, w, 3), np.uint8),
-                np.zeros((2,), np.float32),
+                np.zeros(vhw_shape, np.float32),
             )
 
     return Engine()

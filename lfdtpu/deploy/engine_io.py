@@ -111,13 +111,19 @@ def save_engine(engine, path):
 class LoadedEngine:
     """Engine restored from disk: same surface as compile_inference's."""
 
-    def __init__(self, call, precision, input_resolution):
+    def __init__(self, call, precision, input_resolution, vhw_shape=None):
         self._call = call
         self.precision_mode = precision
         self.input_resolution = input_resolution
+        self._vhw_shape = tuple(vhw_shape) if vhw_shape else (2,)
 
     def __call__(self, images, valid_hw):
-        return self._call(images, jnp.asarray(valid_hw, jnp.float32))
+        vhw = jnp.asarray(valid_hw, jnp.float32)
+        if vhw.ndim == 1 and len(self._vhw_shape) == 2:
+            # exported program wants per-image (B, 2) extents; broadcast
+            # the shared (2,) extent over the batch
+            vhw = jnp.tile(vhw[None, :], (self._vhw_shape[0], 1))
+        return self._call(images, vhw)
 
 
 def predict_padded(engine, image):
@@ -157,4 +163,9 @@ def load_engine(path):
     def call(images, valid_hw):
         return call_exported(*consts, images, valid_hw)
 
-    return LoadedEngine(call, meta["precision"], tuple(meta["input_resolution"]))
+    vhw_shape = None
+    shapes = meta.get("example_shapes")
+    if shapes and len(shapes) == 2:
+        vhw_shape = shapes[1][0]
+    return LoadedEngine(call, meta["precision"], tuple(meta["input_resolution"]),
+                        vhw_shape=vhw_shape)

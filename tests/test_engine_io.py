@@ -102,3 +102,37 @@ def test_int8_engine_save_load_roundtrip(tmp_path):
             np.asarray(ref[k]), np.asarray(got[k]), rtol=1e-5, atol=1e-5,
             err_msg=k,
         )
+
+
+def test_batch_engine_save_load_per_image_extents(tmp_path):
+    """Batch engines serialize with (B, 2) per-image valid extents; a
+    loaded engine accepts both per-image (B, 2) and shared (2,) valid_hw
+    (broadcast), matching the in-process engine."""
+    from lfdtpu.deploy.compile import make_device_preprocess
+
+    det = ZOO["WIDERFACE-XS"]()
+    variables = det.init(jax.random.PRNGKey(0), input_hw=(64, 64), train=False)
+    pre = make_device_preprocess((0.5, 0.5, 0.5), (0.5, 0.5, 0.5))
+    engine = compile_inference(det, variables, (64, 64), precision="fp32",
+                               preprocess=pre, batch_size=2,
+                               classification_threshold=0.01)
+    rng = np.random.RandomState(0)
+    imgs = rng.randint(0, 255, (2, 64, 64, 3), dtype=np.uint8)
+    hws = np.asarray([[60, 64], [64, 48]], np.float32)
+    ref = engine(imgs, hws)
+
+    path = tmp_path / "xs_b2.lfde"
+    save_engine(engine, str(path))
+    loaded = load_engine(str(path))
+    got = loaded(imgs, hws)
+    for k in ref:
+        np.testing.assert_allclose(np.asarray(ref[k]), np.asarray(got[k]),
+                                   rtol=1e-5, atol=1e-5, err_msg=k)
+
+    # shared (2,) extent broadcasts over the batch
+    ref_shared = engine(imgs, np.asarray([60.0, 64.0]))
+    got_shared = loaded(imgs, np.asarray([60.0, 64.0]))
+    for k in ref_shared:
+        np.testing.assert_allclose(np.asarray(ref_shared[k]),
+                                   np.asarray(got_shared[k]),
+                                   rtol=1e-5, atol=1e-5, err_msg=k)
