@@ -8,6 +8,7 @@ from .int8_net import (
     ActScaleObserver,
 )
 from .engine_io import save_engine, load_engine, predict_padded
+from .buckets import BucketedEngineSet
 
 __all__ = [
     "compile_inference",
@@ -24,4 +25,5 @@ __all__ = [
     "save_engine",
     "load_engine",
     "predict_padded",
+    "BucketedEngineSet",
 ]

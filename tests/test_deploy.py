@@ -455,3 +455,44 @@ def test_batched_engine_predict_mixed_sizes():
         np.testing.assert_allclose(np.asarray(rows, np.float32),
                                    np.asarray(rows_s, np.float32),
                                    rtol=1e-4, atol=1e-3)
+
+
+def test_bucketed_engine_set_routes_and_matches():
+    """BucketedEngineSet: images route to the smallest covering bucket,
+    engines build lazily once per bucket, and rows match a directly-built
+    engine at the same bucket."""
+    from lfdtpu.deploy import BucketedEngineSet
+
+    det, variables, _ = _engine_setup()
+    pre = make_device_preprocess((0.5, 0.5, 0.5), (0.5, 0.5, 0.5))
+    bset = BucketedEngineSet(det, variables, buckets=((32, 32), (64, 64)),
+                             precision="fp32", preprocess=pre,
+                             classification_threshold=0.01)
+    rng = np.random.RandomState(2)
+    small = rng.randint(0, 255, (30, 31, 3)).astype(np.uint8)
+    large = rng.randint(0, 255, (50, 64, 3)).astype(np.uint8)
+    assert bset.bucket_for(30, 31) == (32, 32)
+    assert bset.bucket_for(50, 64) == (64, 64)
+    assert bset.bucket_for(100, 100) is None
+
+    rows_small = bset.predict(small)
+    rows_large = bset.predict(large)
+    assert set(bset._engines) == {(32, 32), (64, 64)}
+
+    direct = compile_inference(det, variables, (64, 64), "fp32",
+                               preprocess=pre, classification_threshold=0.01)
+    rows_ref = det.predict_for_single_image_with_engine(direct, large)
+    assert len(rows_large) == len(rows_ref)
+    if rows_ref:
+        np.testing.assert_allclose(np.asarray(rows_large, np.float32),
+                                   np.asarray(rows_ref, np.float32),
+                                   rtol=1e-4, atol=1e-3)
+    # routing reuses the cached engine (no rebuild)
+    e1 = bset.engine_for(20, 20)
+    e2 = bset.engine_for(31, 32)
+    assert e1 is e2
+
+    import pytest
+    with pytest.raises(ValueError):
+        bset.engine_for(100, 100)
+    assert isinstance(rows_small, list)
