@@ -88,9 +88,9 @@ def compile_inference(
 
     pallas_convs: route eligible backbone convs (3x3 s1 64->64) through the
     hand-written pair-im2col Pallas kernel (~3.7x the XLA conv throughput
-    at these shapes; ops/conv_pallas.py). "auto" = on for bf16 engines on a
-    real TPU backend, off otherwise (the kernel is bf16-only and the CPU
-    interpreter is for tests, not speed).
+    at these shapes; ops/conv_pallas.py). "auto" currently resolves to
+    OFF: isolated kernel swaps lose end-to-end to XLA<->Pallas relayout
+    costs (BENCH.md); pass True (ideally with split=True) to opt in.
 
     pallas_stem: run normalize + stem0 (3x3/s2 conv 3->64) + folded BN +
     ReLU as ONE Pallas kernel consuming the raw uint8 frame (the XLA stem

@@ -104,16 +104,16 @@ def cells():
     # reference point for interpreting the above
     dev("dev-L-bf16-1080", "WIDERFACE-L", "bf16", 1080, 1920)
 
-    # --- phase C: fused-int8 sweep refresh (retire the 41 ms table) ---
-    for model, tag in [("WIDERFACE-XS", "XS"), ("WIDERFACE-S", "S"),
-                       ("WIDERFACE-M", "M"), ("WIDERFACE-L", "L")]:
-        for (h, w) in [(480, 640), (720, 1280), (1080, 1920), (2160, 3840)]:
+    # --- phase C: fused-int8 sweep refresh (retire the 41 ms table).
+    # Resolution-major, 1080p first and 4K LAST: if the round is cut
+    # short the headline row lands and only the slowest cells are lost ---
+    for (h, w) in [(1080, 1920), (720, 1280), (480, 640)]:
+        for model, tag in [("WIDERFACE-XS", "XS"), ("WIDERFACE-S", "S"),
+                           ("WIDERFACE-M", "M"), ("WIDERFACE-L", "L")]:
             id_ = f"int8-fused-{tag}-{h}"
             if any(c["id"] == id_ for c in out):
                 continue
-            wall(id_, model, "int8", h, w,
-                 loops=120 if h == 2160 else 300,
-                 timeout=3600 if h == 2160 else 2400)
+            wall(id_, model, "int8", h, w, loops=300, timeout=2400)
 
     # --- phase D: batch throughput (floor amortization; beyond parity) ---
     wall("batch4-L-bf16-1080", "WIDERFACE-L", "bf16", 1080, 1920, batch=4)
@@ -140,12 +140,18 @@ def cells():
         ))
 
     # --- phase E: best-variant cross-checks at other sizes ---
-    wall("s2d-L-bf16-2160", "WIDERFACE-L", "bf16", 2160, 3840, loops=200,
-         kwargs={"s2d_stem": True}, timeout=3600)
     wall("s2d-M-bf16-1080", "WIDERFACE-M", "bf16", 1080, 1920,
          kwargs={"s2d_stem": True})
     wall("split-pallas-M-bf16-1080", "WIDERFACE-M", "bf16", 1080, 1920,
          kwargs={"split": True, "pallas_convs": True})
+
+    # --- phase G (slowest, last): 4K cells — int8 refresh + s2d check ---
+    for model, tag in [("WIDERFACE-XS", "XS"), ("WIDERFACE-S", "S"),
+                       ("WIDERFACE-M", "M"), ("WIDERFACE-L", "L")]:
+        wall(f"int8-fused-{tag}-2160", model, "int8", 2160, 3840,
+             loops=120, timeout=3600)
+    wall("s2d-L-bf16-2160", "WIDERFACE-L", "bf16", 2160, 3840, loops=200,
+         kwargs={"s2d_stem": True}, timeout=3600)
     return out
 
 
