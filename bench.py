@@ -1,28 +1,37 @@
 #!/usr/bin/env python
 """Benchmark: WIDERFACE-L batch-1 1920x1080 end-to-end inference latency
-on one TPU chip (bf16), INCLUDING on-device decode + NMS.
+on one TPU chip, INCLUDING on-device decode + NMS, in the repo's FASTEST
+engine mode (fused int8 — campaign_r3/BENCH.md) with bf16 as secondary.
 
-Baseline (BASELINE.md): the reference's RTX-2080Ti TensorRT FP16 number for
-the same model/resolution is 7.66 ms/image — network-only (decode+NMS
-excluded), so matching it end-to-end is strictly harder.
+Baseline (BASELINE.md): the reference's RTX-2080Ti TensorRT INT8 number
+for the same model/resolution is 6.83 ms/image (README.md:75) — its own
+fastest published row, network-only (decode+NMS excluded), so matching it
+end-to-end is strictly harder. The bf16 row compares against the 7.66 ms
+FP16 row (README.md:64).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 vs_baseline < 1.0 means faster than the reference.
 """
 import json
+import os
+import subprocess
 import sys
 
 sys.path.insert(0, "/root/repo")
 
-BASELINE_MS = 7.66  # README.md:64 — WIDERFACE-L FP16 @ 1920x1080
+BASELINE_INT8_MS = 6.83  # reference README.md:75 — WIDERFACE-L INT8 @ 1920x1080
+BASELINE_FP16_MS = 7.66  # reference README.md:64 — WIDERFACE-L FP16 @ 1920x1080
 
 
-def main():
+def _measure(precision, act_scales=None):
+    """One engine's latency, in THIS process (engine outputs only)."""
     import jax
     import numpy as np
 
     from lfdtpu.zoo import widerface_lfd
-    from lfdtpu.deploy import compile_inference, make_device_preprocess, timing_inference
+    from lfdtpu.deploy import (
+        compile_inference, make_device_preprocess, timing_inference,
+    )
 
     det = widerface_lfd("L")
     variables = det.init(jax.random.PRNGKey(0), (256, 256))
@@ -34,7 +43,8 @@ def main():
 
     preprocess = make_device_preprocess((0.5, 0.5, 0.5), (0.5, 0.5, 0.5))
     engine = compile_inference(
-        det, variables, (ph, pw), precision="bf16", preprocess=preprocess
+        det, variables, (ph, pw), precision=precision, preprocess=preprocess,
+        act_scales=act_scales,
     )
     images = np.random.randint(0, 255, (1, ph, pw, 3), dtype=np.uint8)
     # honest async-backend timing: segments of enqueues closed by an
@@ -42,17 +52,54 @@ def main():
     # deploy/latency.timing_inference — block_until_ready alone returns at
     # enqueue on this backend and under-reports ~20x.
     r = timing_inference(engine, images, (h, w), warmup_loops=12)
+    return r["ms_per_image"]
 
-    print(
-        json.dumps(
-            {
-                "metric": "WIDERFACE-L bf16 batch-1 1920x1080 end-to-end (net+decode+NMS) latency",
-                "value": round(r["ms_per_image"], 3),
-                "unit": "ms/image",
-                "vs_baseline": round(r["ms_per_image"] / BASELINE_MS, 4),
-            }
-        )
+
+def main():
+    mode = sys.argv[1] if len(sys.argv) > 1 else "int8"
+    if mode == "bf16-child":
+        # bf16 leg in a child process: keeps each engine's timing isolated
+        # (foreign-output D2H degrades a process's per-call latency on the
+        # remote backend — tools/bench_cell.py docstring)
+        print("BF16_MS " + json.dumps(_measure("bf16")))
+        return
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    # int8 calibration in its own process (same isolation reason)
+    out = subprocess.run(
+        [sys.executable, os.path.join(here, "tools", "calibrate_cell.py"),
+         "WIDERFACE-L", "1080", "1920"],
+        capture_output=True, text=True, check=True,
     )
+    line = [l for l in out.stdout.splitlines() if l.startswith("AMAX ")][-1]
+    act_scales = json.loads(line[len("AMAX "):])
+
+    int8_ms = _measure("int8", act_scales=act_scales)
+
+    bf16_ms = None
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "bf16-child"],
+            capture_output=True, text=True, timeout=1200,
+        )
+        for l in out.stdout.splitlines():
+            if l.startswith("BF16_MS "):
+                bf16_ms = float(json.loads(l[len("BF16_MS "):]))
+    except Exception:
+        pass
+
+    result = {
+        "metric": "WIDERFACE-L int8-fused batch-1 1920x1080 end-to-end "
+                  "(net+decode+NMS) latency",
+        "value": round(int8_ms, 3),
+        "unit": "ms/image",
+        "vs_baseline": round(int8_ms / BASELINE_INT8_MS, 4),
+        "baseline_ms": BASELINE_INT8_MS,
+    }
+    if bf16_ms is not None:
+        result["bf16_ms"] = round(bf16_ms, 3)
+        result["bf16_vs_fp16_baseline"] = round(bf16_ms / BASELINE_FP16_MS, 4)
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

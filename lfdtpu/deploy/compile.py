@@ -247,8 +247,8 @@ def compile_inference(
 
         if pallas_stem:
             raise ValueError("s2d_stem and pallas_stem are exclusive")
-        if precision not in ("fp32", "bf16"):
-            raise ValueError("s2d_stem requires precision fp32 or bf16")
+        if precision not in ("fp32", "bf16", "int8"):
+            raise ValueError("s2d_stem requires precision fp32/bf16/int8")
         if preprocess is None or not hasattr(preprocess, "mean"):
             raise ValueError(
                 "s2d_stem needs a make_device_preprocess preprocess "
@@ -326,10 +326,16 @@ def compile_inference(
         if precision == "int8":
             from .int8_net import int8_fused_apply
 
-            cls_o, reg_o = int8_fused_apply(
-                detector.net, run_vars, x, act_scales,
-                weight_scales=weight_scales,
-            )
+            # s2d composition: raw frames pass through, stem0 runs as the
+            # s2d folded conv (inner interception), the chain statically
+            # quantizes from the first block's own calibrated input amax
+            with _net_ctx(None, None, s2d_pack):
+                cls_o, reg_o = int8_fused_apply(
+                    detector.net, run_vars, x, act_scales,
+                    weight_scales=weight_scales,
+                    quantize_input=s2d_pack is None,
+                    skip_stem0=s2d_pack is not None,
+                )
         else:
             with _net_ctx(weight_packs, stem_pack, s2d_pack):
                 cls_o, reg_o = detector.net.apply(run_vars, x, train=False)

@@ -13,11 +13,14 @@
 #    anything else int8-ineligible) get a single dequant at entry.
 #    Measured per-conv at 272x480x64 (tools/kernel_lab slope method):
 #    bf16 0.395 ms | int8 fused 0.446 ms | int8 unfused-static 0.746 ms —
-#    i.e. the old per-conv round trip was the 41 ms engine's killer, and
-#    the XLA int8 conv itself runs at bf16 rate (no 2x from the MXU's int8
-#    path is exposed; an int8 conv with a trivial shift epilogue measures
-#    0.475 ms, still >= bf16), so int8's ceiling on this backend is
-#    "between bf16 and fp32", not "fastest mode" as on TensorRT.
+#    i.e. the old per-conv round trip was the 41 ms engine's killer. The
+#    XLA int8 conv itself runs at ~bf16 rate per-op (no MXU 2x exposed;
+#    a shift-epilogue int8 conv measures 0.475 ms), yet END-TO-END the
+#    fused chain is the FASTEST engine mode — 6.38 ms vs bf16 6.76 ms at
+#    1080p-L (campaign_r3, BENCH.md) — because int8 activations halve the
+#    HBM traffic between convs on this bandwidth-bound backbone. The
+#    per-conv kernel-lab numbers measure isolated dispatches and miss
+#    that; trust the end-to-end engine measurement.
 #
 # 2. The legacy per-conv interceptor (int8_interception/int8_apply), kept
 #    for tests and as the dynamic-scale calibration-free fallback. It pays
@@ -444,7 +447,8 @@ def _dequant_args(args, tracker, dtype):
 
 
 def int8_fused_apply(net, variables, images_f32, amax, weight_scales=None,
-                     dequant_dtype=jnp.float32):
+                     dequant_dtype=jnp.float32, quantize_input=True,
+                     skip_stem0=False, capture=None):
     """Run `net.apply` with the fused int8 chain.
 
     images_f32: preprocessed float frames; quantized ONCE with the
@@ -457,6 +461,18 @@ def int8_fused_apply(net, variables, images_f32, amax, weight_scales=None,
     variables for nets whose EVERY conv is int8-eligible.
     Ineligible modules (GroupNorm heads etc.) receive a single dequant to
     `dequant_dtype` and run unchanged.
+
+    quantize_input=False / skip_stem0=True compose the chain with a stem
+    interception (s2d_net): images pass through RAW, the backbone `stem0`
+    falls through to the inner interceptor (which consumes the raw frame),
+    and the first block statically quantizes its f32 input via its own
+    calibrated `#in` amax — the chain then runs int8 from there on.
+
+    capture: a dict whose KEYS name module paths ("backbone", "neck",
+    "backbone/stem1", ...); each named module's output (possibly a tracked
+    int8 array) is stored under its key during the trace. Used by the
+    attribution benchmark (tools/bench_int8_attrib.py) to build
+    DCE-truncated prefix programs.
     """
     tracker = _Tracker()
 
@@ -466,9 +482,20 @@ def int8_fused_apply(net, variables, images_f32, amax, weight_scales=None,
         return args[1] if len(args) >= 2 else False
 
     def interceptor(next_fun, args, kwargs, context):
+        out = _impl(next_fun, args, kwargs, context)
+        if capture is not None and context.method_name == "__call__":
+            p = "/".join(str(q) for q in context.module.path)
+            if p in capture:
+                capture[p] = out
+        return out
+
+    def _impl(next_fun, args, kwargs, context):
         mod = context.module
         if context.method_name != "__call__":
             return next_fun(*args, **kwargs)
+        if skip_stem0 and mod.path and mod.path[-1] == "stem0":
+            # left to an inner stem interception (raw-frame s2d stem)
+            return next_fun(*_dequant_args(args, tracker, dequant_dtype), **kwargs)
         if isinstance(mod, (_BLOCKS) + (ConvNormAct,)) and _train_flag(args, kwargs):
             # folded BN is inference-only
             return next_fun(*_dequant_args(args, tracker, dequant_dtype), **kwargs)
@@ -488,7 +515,10 @@ def int8_fused_apply(net, variables, images_f32, amax, weight_scales=None,
             return next_fun(*_dequant_args(args, tracker, dequant_dtype), **kwargs)
         return next_fun(*args, **kwargs)
 
-    s_img = _scale_of(amax["__input__#out"])
-    x8 = tracker.set(_quantize_to(images_f32, s_img), s_img)
+    if quantize_input:
+        s_img = _scale_of(amax["__input__#out"])
+        x8 = tracker.set(_quantize_to(images_f32, s_img), s_img)
+    else:
+        x8 = images_f32  # raw frames: an inner stem interception consumes them
     with nn.intercept_methods(interceptor):
         return net.apply(variables, x8, train=False)

@@ -22,6 +22,8 @@ def main():
     h, w = int(sys.argv[3]), int(sys.argv[4])
     loops = int(sys.argv[5]) if len(sys.argv) > 5 else 0
 
+    import subprocess
+
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -33,6 +35,19 @@ def main():
     )
     from lfdtpu.zoo import ZOO
 
+    act_scales = None
+    if precision == "int8":
+        # calibrate in a separate process (foreign-output D2H would
+        # degrade this process's timed calls — bench_cell.py docstring)
+        out = subprocess.run(
+            [sys.executable, os.path.join(os.path.dirname(__file__),
+                                          "calibrate_cell.py"),
+             model_name, str(h), str(w)],
+            capture_output=True, text=True, check=True,
+        )
+        line = [l for l in out.stdout.splitlines() if l.startswith("AMAX ")][-1]
+        act_scales = json.loads(line[len("AMAX "):])
+
     det = ZOO[model_name]()
     variables = det.init(jax.random.PRNGKey(0), (256, 256))
 
@@ -41,7 +56,8 @@ def main():
     pw = (w + divisor - 1) // divisor * divisor
     preprocess = make_device_preprocess((0.5, 0.5, 0.5), (0.5, 0.5, 0.5))
     engine = compile_inference(
-        det, variables, (ph, pw), precision=precision, preprocess=preprocess
+        det, variables, (ph, pw), precision=precision, preprocess=preprocess,
+        act_scales=act_scales,
     )
 
     # FLOPs from XLA cost analysis of the compiled program (the inner jit

@@ -9,7 +9,11 @@ loss scalar is a true completion barrier on the enqueue-async backend;
 the per-step time is the two-depth slope (t_2K - t_K)/K, which cancels
 the fixed fetch cost (deploy/latency.py methodology).
 
-Usage: python tools/bench_train_step.py WIDERFACE-S 64 480 [K]
+Usage: python tools/bench_train_step.py WIDERFACE-S 64 480 [K] [fp32|bf16]
+
+The optional 5th arg selects the step's compute precision: bf16 builds
+the mixed-precision step (bf16 forward/backward, f32 master weights /
+loss / optimizer — `parallel/data_parallel.make_train_step`).
 """
 import json
 import os
@@ -25,6 +29,8 @@ def main():
     batch = int(sys.argv[2]) if len(sys.argv) > 2 else 64
     crop = int(sys.argv[3]) if len(sys.argv) > 3 else 480
     K = int(sys.argv[4]) if len(sys.argv) > 4 else 20
+    precision = sys.argv[5] if len(sys.argv) > 5 else "fp32"
+    assert precision in ("fp32", "bf16"), precision
 
     import jax
     import numpy as np
@@ -39,7 +45,8 @@ def main():
     optimizer = SGD(momentum=0.9, weight_decay=1e-4)
     state = create_train_state(det, optimizer, jax.random.PRNGKey(0), hw,
                                batch_size=batch)
-    step = make_train_step(det, optimizer, hw, clip_max_norm=10.0)
+    step = make_train_step(det, optimizer, hw, clip_max_norm=10.0,
+                           mixed_precision=(precision == "bf16"))
 
     # reference-shaped batch: crop-sized frames, padded GT (Nmax=64)
     rng = np.random.RandomState(0)
@@ -78,7 +85,7 @@ def main():
         ms_per_step=round(ms, 3),
         images_per_s=round(batch / (ms / 1000.0), 1),
         model=model_name, batch=batch, crop=crop, loops=3 * K,
-        loss=round(loss, 4),
+        precision=precision, loss=round(loss, 4),
         build_s=round(t_build - t0, 1),
         timing_s=round(time.time() - t_build, 1),
     )

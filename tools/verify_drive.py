@@ -132,27 +132,49 @@ assert nb1 == nb2 >= 1, (nb1, nb2)
 assert np.allclose(np.asarray(db1["boxes"])[0][:nb1], np.asarray(db2["boxes"])[0][:nb2], atol=1e-2)
 print("BF16 ENGINE ROUNDTRIP OK")
 
-# int8 FUSED engine: detections must match fp32 on the trained scene
+# int8 FUSED engine. Round 4: calibrate TRT-style on the REAL scene (the
+# reference's INT8Calibrator feeds real crops, `build_engine.py:22-43`);
+# round 3's noise-frame default calibration cost 0.15 IoU on this scene
+# (0.796 vs fp32 0.946) — both engines are measured here so the drive
+# itself records the root cause.
+from lfdtpu.deploy.int8_net import calibrate_module_amax
+
+def _best_iou(d):
+    n = int(np.asarray(d["count"])[0])
+    best = 0.0
+    for x1, y1, x2, y2 in np.asarray(d["boxes"])[0][:n]:
+        best = max(best, iou((x1, y1, x2 - x1, y2 - y1), (40, 30, 64, 50)))
+    return n, best
+
+pre = make_device_preprocess((0.0, 0.0, 0.0), (1.0, 1.0, 1.0))
+# (a) noise calibration — the round-3 configuration, kept as the recorded
+# regression measurement
+eng8n = compile_inference(det, variables, (128, 128), precision="int8",
+                         preprocess=pre, classification_threshold=0.3)
+n8n, best8_noise = _best_iou(eng8n(scene_u8[None], np.asarray([128, 128], np.float32)))
+print("int8 (noise-calibrated) count:", n8n, "best IoU:", best8_noise)
+# (b) real-scene calibration — the TRT-analogue path engines should use
+scales8 = calibrate_module_amax(det, variables, [scene_u8[None]], preprocess=pre)
 eng8 = compile_inference(det, variables, (128, 128), precision="int8",
-                         preprocess=make_device_preprocess((0.0, 0.0, 0.0), (1.0, 1.0, 1.0)),
+                         preprocess=pre, act_scales=scales8,
                          classification_threshold=0.3)
 d8 = eng8(scene_u8[None], np.asarray([128, 128], np.float32))
-n8 = int(np.asarray(d8["count"])[0])
+n8, best8 = _best_iou(d8)
 b8 = np.asarray(d8["boxes"])[0][:n8]
-print("int8 engine count:", n8, "fp32 count:", n1)
-assert n8 >= 1, n8
-best8 = 0.0
-for bb in b8:
-    x1, y1, x2, y2 = bb
-    best8 = max(best8, iou((x1, y1, x2 - x1, y2 - y1), (40, 30, 64, 50)))
-print("int8 best IoU vs GT:", best8)
-assert best8 > 0.5, best8
-# int8 engine serialization round-trip
+print("int8 (scene-calibrated) count:", n8, "fp32 count:", n1,
+      "best IoU:", best8, "(fp32 best IoU:", round(float(best), 3), ")")
+assert n8 == n1, (n8, n1)
+assert best8 >= 0.9, best8
+assert best8 >= best - 0.05, (best8, best)
+# int8 engine serialization round-trip (within 1e-2 px, not bit-exact:
+# the loaded program is re-jitted and f32 epilogues may re-associate)
 save_engine(eng8, os.path.join(WORK, "engine_int8.lfde"))
 d8b = predict_padded(load_engine(os.path.join(WORK, "engine_int8.lfde")), scene_u8)
 n8b = int(np.asarray(d8b["count"])[0])
 assert n8b == n8, (n8, n8b)
-assert np.allclose(np.asarray(d8b["boxes"])[0][:n8b], b8, atol=1e-2)
+int8_rt_drift = float(np.max(np.abs(np.asarray(d8b["boxes"])[0][:n8b] - b8))) if n8 else 0.0
+print("int8 round-trip max box delta:", int8_rt_drift)
+assert int8_rt_drift <= 1e-2, int8_rt_drift
 print("INT8 FUSED ENGINE OK")
 
 # split two-program engine (round 3): same detections as single-program fp32
@@ -175,12 +197,30 @@ engd = compile_inference(det, variables, (128, 128), precision="fp32",
 dd = engd(scene_u8[None], np.asarray([128, 128], np.float32))
 nd = int(np.asarray(dd["count"])[0])
 assert nd == n1, (nd, n1)
-assert np.allclose(np.asarray(dd["boxes"])[0][:nd], b1, atol=0.05), (
-    np.asarray(dd["boxes"])[0][:nd] - b1)
+s2d_drift = float(np.max(np.abs(np.asarray(dd["boxes"])[0][:nd] - b1))) if nd else 0.0
+print("s2d max box delta vs single-program:", s2d_drift)
+assert s2d_drift <= 0.05, s2d_drift
 print("S2D STEM ENGINE OK")
+
+# int8+s2d composed engine (round 4): s2d-restated stem feeding the fused
+# int8 chain — same detections as the plain scene-calibrated int8 engine
+engc = compile_inference(det, variables, (128, 128), precision="int8",
+                         preprocess=pre, act_scales=scales8,
+                         classification_threshold=0.3, s2d_stem=True)
+dc = engc(scene_u8[None], np.asarray([128, 128], np.float32))
+nc, bestc = _best_iou(dc)
+print("int8+s2d count:", nc, "best IoU:", bestc)
+assert nc == n8, (nc, n8)
+assert bestc >= 0.9, bestc
+print("INT8+S2D ENGINE OK")
 
 print("DRIVE_RESULT " + json.dumps(dict(
     loss0=round(loss0, 3), loss_final=round(loss_final, 4),
-    best_iou=round(float(best), 3), int8_best_iou=round(float(best8), 3),
-    engines_ok=["fp32", "bf16", "int8", "split", "s2d"],
+    best_iou=round(float(best), 3),
+    int8_best_iou=round(float(best8), 3),
+    int8_noise_calib_iou=round(float(best8_noise), 3),
+    int8_s2d_iou=round(float(bestc), 3),
+    s2d_max_box_delta=round(s2d_drift, 5),
+    int8_roundtrip_max_box_delta=round(int8_rt_drift, 5),
+    engines_ok=["fp32", "bf16", "int8", "int8+s2d", "split", "s2d"],
 )))
