@@ -392,6 +392,57 @@ def test_s2d_stem_composes_with_split():
                                np.asarray(b["boxes"][0, :n]), atol=1e-3)
 
 
+def test_s2d_stem_composes_with_int8():
+    """int8 + s2d_stem (round 4): the s2d folded stem feeds the fused int8
+    chain (stem0 skipped, first block statically quantizes from its own
+    calibrated amax). The composed engine's raw net outputs must correlate
+    with the plain fused-int8 chain's — and both with f32 — since the only
+    difference is stem0 running exact-f32 (s2d) vs int8."""
+    from lfdtpu.deploy.int8_net import calibrate_module_amax
+
+    det = _fast_stem_lfd()
+    variables = det.init(jax.random.PRNGKey(0), (64, 64))
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 255, (1, 64, 64, 3)).astype(np.uint8)
+    pre = make_device_preprocess((0.5, 0.5, 0.5), (0.5, 0.5, 0.5))
+    vhw = jnp.asarray([64.0, 64.0])
+    amax = calibrate_module_amax(det, variables, [img], preprocess=pre)
+    plain = compile_inference(det, variables, (64, 64), "int8", preprocess=pre,
+                              classification_threshold=0.01, act_scales=amax)
+    comp = compile_inference(det, variables, (64, 64), "int8", preprocess=pre,
+                             classification_threshold=0.01, act_scales=amax,
+                             s2d_stem=True)
+    a = plain(jnp.asarray(img), vhw)
+    b = comp(jnp.asarray(img), vhw)
+    # near-threshold detections may differ between the two stem paths on a
+    # random-init net; the scored candidates must correlate strongly
+    sa = np.sort(np.asarray(a["scores"]).ravel())[::-1][:32]
+    sb = np.sort(np.asarray(b["scores"]).ravel())[::-1][:32]
+    np.testing.assert_allclose(sa, sb, atol=0.05)
+    # the composed program still carries the int8 backbone convs
+    fn, consts = comp.export_parts()
+    txt = str(jax.make_jaxpr(lambda im, v: fn(*consts, im, v))(
+        jnp.asarray(img), vhw))
+    assert txt.count("preferred_element_type=int32") >= 2
+
+
+def test_int8_fused_apply_capture_hook():
+    """int8_fused_apply(capture=...): named module outputs are recorded
+    during the trace (the attribution benchmark's DCE-truncation hook)."""
+    from lfdtpu.deploy.int8_net import calibrate_module_amax, int8_fused_apply
+
+    det, variables, img = _engine_setup()
+    pre = make_device_preprocess((0.5, 0.5, 0.5), (0.5, 0.5, 0.5))
+    amax = calibrate_module_amax(det, variables, [img], preprocess=pre)
+    x = pre(jnp.asarray(img)).astype(jnp.float32)
+    capture = {"backbone": None, "neck": None}
+    cls8, reg8 = int8_fused_apply(det.net, variables, x, amax, capture=capture)
+    assert capture["backbone"] is not None and capture["neck"] is not None
+    # captured values are real traced outputs, not placeholders
+    for v in jax.tree.leaves(capture["backbone"]):
+        assert hasattr(v, "shape")
+
+
 def test_spmd_mesh_engine_matches_single_device():
     """compile_inference(mesh=...): the SPMD engine (image height sharded
     over the `spatial` axis, GSPMD halo exchanges) returns the same

@@ -1,6 +1,7 @@
 #!/usr/bin/env python
-"""Fold campaign_r3.jsonl cells into bench_sweep_results.json and print a
-digest for BENCH.md.
+"""Fold campaign jsonl cells into bench_sweep_results.json and print a
+digest for BENCH.md. Accepts multiple jsonl paths (later files win per
+cell id); default = campaign_r3.jsonl + campaign_r4.jsonl.
 
 - Base cells (no engine_kwargs, batch 1) replace the matching
   (model, precision, height, width) row of bench_sweep_results.json —
@@ -20,16 +21,22 @@ import sys
 REPO = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
 
 
-def load_jsonl(path):
+def load_jsonl(paths):
     rows = []
-    with open(path) as f:
-        for line in f:
-            line = line.strip()
-            if line:
-                rows.append(json.loads(line))
-    # last result per id wins (retries append)
+    for path in paths:
+        if not os.path.exists(path):
+            continue
+        with open(path) as f:
+            for line in f:
+                line = line.strip()
+                if line:
+                    rows.append(json.loads(line))
+    # last result per id wins (retries append; later files override
+    # earlier ones, and a non-error result overrides an inherited error)
     by_id = {}
     for r in rows:
+        if r["id"] in by_id and "error" in r and "error" not in by_id[r["id"]]:
+            continue
         by_id[r["id"]] = r
     return list(by_id.values())
 
@@ -37,19 +44,28 @@ def load_jsonl(path):
 def main():
     write = "--write" in sys.argv
     paths = [a for a in sys.argv[1:] if not a.startswith("--")]
-    campaign = load_jsonl(paths[0] if paths
-                          else os.path.join(REPO, "campaign_r3.jsonl"))
+    if not paths:
+        paths = [os.path.join(REPO, "campaign_r3.jsonl"),
+                 os.path.join(REPO, "campaign_r4.jsonl")]
+    campaign = load_jsonl(paths)
     sweep_path = os.path.join(REPO, "bench_sweep_results.json")
     with open(sweep_path) as f:
         sweep = json.load(f)
 
     errors = [r for r in campaign if "error" in r]
     base, variants, batches, device, other = [], [], [], [], []
+    trains, attribs, quality = [], [], []
     for r in campaign:
         if "error" in r:
             continue
         if "ms_device" in r:
             device.append(r)
+        elif "ms_per_step" in r:
+            trains.append(r)
+        elif "stage" in r:
+            attribs.append(r)
+        elif "int8_delta" in r:
+            quality.append(r)
         elif r.get("engine_kwargs"):
             variants.append(r)
         elif "ms_per_image" in r and r.get("batch", 1) > 1:
@@ -70,6 +86,13 @@ def main():
         else:
             sweep.append(row)
             added += 1
+            by_key[key(r)] = len(sweep) - 1
+    # attach device-only times to their wall-slope rows so the rendered
+    # tables carry the dispatch-floor evidence inline (VERDICT r3 #1)
+    for r in device:
+        i = by_key.get(key(r))
+        if i is not None:
+            sweep[i]["ms_device"] = r["ms_device"]
 
     print(f"campaign cells: {len(campaign)}  errors: {len(errors)}")
     for r in errors:
@@ -99,6 +122,32 @@ def main():
             ws = f"{wall['ms_per_image']:.2f}" if wall else "?"
             print(f"  {r['model']} {r['precision']} {r['width']}x{r['height']}:"
                   f" device {r['ms_device']:.2f} ms | wall slope {ws} ms")
+    if trains:
+        print("\n== training throughput (device step, reference config) ==")
+        for r in sorted(trains, key=lambda r: r["id"]):
+            print(f"  {r['model']} {r.get('precision', 'fp32')}"
+                  f" batch={r['batch']} crop={r['crop']}:"
+                  f" {r['ms_per_step']:.2f} ms/step"
+                  f" ({r['images_per_s']:.0f} img/s)")
+    if attribs:
+        print("\n== int8 attribution (prefix-program stages; deltas"
+              " attribute the engine) ==")
+        prev = None
+        order = {"input": 0, "stem": 1, "backbone": 2, "neck": 3,
+                 "net": 4, "full": 5}
+        for r in sorted(attribs, key=lambda r: (r["model"], r["height"],
+                                                order.get(r["stage"], 9))):
+            d = "" if prev is None else f"  (+{r['ms_per_image'] - prev:.2f})"
+            print(f"  {r['model']} {r['width']}x{r['height']}"
+                  f" {r['stage']}: {r['ms_per_image']:.2f} ms{d}")
+            prev = r["ms_per_image"]
+    if quality:
+        print("\n== int8 engine accuracy (synthetic mAP_50, real-crop"
+              " calibration) ==")
+        for r in sorted(quality, key=lambda r: r["id"]):
+            print(f"  {r['model']}: fp32 {r['mAP_50_fp32_engine']:.3f}"
+                  f" int8 {r['mAP_50_int8_engine']:.3f}"
+                  f" delta {r['int8_delta']:+.3f}")
     if other:
         print("\n== other cells ==")
         for r in other:

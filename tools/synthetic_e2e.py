@@ -34,14 +34,16 @@ MULTISCALE_RANGES = ((0, 16), (16, 32), (32, 64), (64, 160))
 MULTISCALE_SIZE = 192
 
 
-def make_dataset(n, seed, size=128, buckets=((18, 48),)):
+def make_dataset(n, seed, size=128, buckets=((18, 48),), num_classes=2):
     """Images with bright/dark boxes; each box's size is drawn from a
-    cycling scale bucket so every bucket is represented ~equally."""
+    cycling scale bucket so every bucket is represented ~equally.
+    num_classes=1 emits bright-only boxes (single-class zoo models)."""
     rng = np.random.RandomState(seed)
     samples = {}
     ann_id = 1
     coco = {"images": [], "annotations": [],
-            "categories": [{"id": 1, "name": "bright"}, {"id": 2, "name": "dark"}]}
+            "categories": [{"id": 1, "name": "bright"},
+                           {"id": 2, "name": "dark"}][:num_classes]}
     bucket_cycle = 0
     for i in range(n):
         # mid-gray texture keeps both classes separable even at ~10 px
@@ -55,7 +57,7 @@ def make_dataset(n, seed, size=128, buckets=((18, 48),)):
                 continue
             x = rng.randint(0, size - w)
             y = rng.randint(0, size - h)
-            cls = rng.randint(0, 2)
+            cls = rng.randint(0, num_classes)
             color = (230, 220, 210) if cls == 0 else (15, 25, 20)
             img[y:y + h, x:x + w] = color
             boxes.append([int(x), int(y), int(w), int(h)])
@@ -186,7 +188,7 @@ def per_bucket_recall(det, variables, val_samples, buckets,
 
 
 def engine_quality_eval(det, variables, train_samples, val_samples, ann_path,
-                        size, precisions=("fp32", "int8")):
+                        size, precisions=("fp32", "int8"), num_classes=2):
     """mAP_50 of the trained model through DEPLOYMENT ENGINES, per
     precision. The int8 engine is calibrated TRT-style on real training
     frames (`calibrate_module_amax`); comparing its mAP against the fp32
@@ -210,7 +212,7 @@ def engine_quality_eval(det, variables, train_samples, val_samples, ann_path,
             act_scales=act_scales if prec == "int8" else None,
             classification_threshold=0.05,
         )
-        ev = COCOEvaluator(ann_path, {0: 1, 1: 2})
+        ev = COCOEvaluator(ann_path, {i: i + 1 for i in range(num_classes)})
         for s in val_samples.values():
             rows = det.predict_for_single_image_with_engine(engine, s["image"])
             ev.update([rows], [{"image_id": s["image_id"]}])
@@ -222,7 +224,13 @@ def engine_quality_eval(det, variables, train_samples, val_samples, ann_path,
 
 def run_synthetic(family="lfd", multiscale=False, epochs=60, threshold=0.5,
                   recall_threshold=0.6, seed=0, base_lr=0.05,
-                  clip_whole_run=False, engine_quality=False):
+                  clip_whole_run=False, engine_quality=False,
+                  zoo_model=None):
+    """zoo_model: a `lfdtpu.zoo.ZOO` key (e.g. 'WIDERFACE-L') — train THAT
+    model on the synthetic set (single-class, boxes sized for its ranges)
+    instead of the small built-in detector. Used by the per-size int8
+    accuracy sweep (VERDICT r3 #7): the engine-quality numbers then speak
+    for the real deployment models, not a toy."""
     from lfdtpu.data import (
         Compose, DataLoader, IdleRegionSampler, RandomBBoxCropRegionSampler,
         RandomBBoxCropWithRangeSelectionRegionSampler, RandomDatasetSampler,
@@ -235,15 +243,29 @@ def run_synthetic(family="lfd", multiscale=False, epochs=60, threshold=0.5,
 
     size = MULTISCALE_SIZE if multiscale else 128
     buckets = MULTISCALE_BUCKETS if multiscale else ((18, 48),)
-    train_samples, _ = make_dataset(64, seed=seed, size=size, buckets=buckets)
-    val_samples, val_coco = make_dataset(16, seed=seed + 1, size=size, buckets=buckets)
+    num_classes = 2
+    if zoo_model is not None:
+        # single-class bright boxes covering the zoo model's mid ranges
+        # (WIDERFACE scales: (4,20),(20,40),(40,80) at a 128 px crop)
+        num_classes = 1
+        buckets = ((10, 18), (22, 38), (44, 72))
+    train_samples, _ = make_dataset(64, seed=seed, size=size, buckets=buckets,
+                                    num_classes=num_classes)
+    val_samples, val_coco = make_dataset(16, seed=seed + 1, size=size,
+                                         buckets=buckets,
+                                         num_classes=num_classes)
     tmp = tempfile.mkdtemp()
     ann_path = os.path.join(tmp, "val.json")
     with open(ann_path, "w") as f:
         json.dump(val_coco, f)
 
     train_ds, val_ds = MemDataset(train_samples), MemDataset(val_samples)
-    det = build_detector(family, multiscale=multiscale)
+    if zoo_model is not None:
+        from lfdtpu.zoo import ZOO
+
+        det = ZOO[zoo_model]()
+    else:
+        det = build_detector(family, multiscale=multiscale)
 
     pipeline = Compose([simple_normalize])
     if multiscale:
@@ -268,7 +290,8 @@ def run_synthetic(family="lfd", multiscale=False, epochs=60, threshold=0.5,
         IdleRegionSampler(), augmentation_pipeline=pipeline,
         num_workers=1, max_boxes_per_image=8,
     )
-    evaluator = COCOEvaluator(ann_path, {0: 1, 1: 2})
+    evaluator = COCOEvaluator(
+        ann_path, {i: i + 1 for i in range(num_classes)})
 
     config = dict(
         work_dir=os.path.join(tmp, "work"),
@@ -305,7 +328,8 @@ def run_synthetic(family="lfd", multiscale=False, epochs=60, threshold=0.5,
         metrics["per_range_recall"] = recalls.tolist()
     if engine_quality:
         metrics["engine_mAP_50"] = engine_quality_eval(
-            det, ex.variables, train_samples, val_samples, ann_path, size
+            det, ex.variables, train_samples, val_samples, ann_path, size,
+            num_classes=num_classes,
         )
     print("SYNTHETIC E2E OK")
     return metrics
