@@ -70,6 +70,7 @@ def compile_inference(
     s2d_stem=False,
     split=False,
     mesh=None,
+    int8_head_dtype=None,
 ):
     """Build ("compile") one inference engine.
 
@@ -114,6 +115,12 @@ def compile_inference(
     requirement back through the convs, so Pallas<->XLA junction relayouts
     (the reason pallas_convs defaults off; BENCH.md) become free, at the
     cost of one extra per-program dispatch (~1 ms on the tunnel backend).
+
+    int8_head_dtype: "bf16" runs the int8 engine's FLOAT remainder (the
+    GroupNorm head and any other int8-ineligible module) in bfloat16
+    instead of f32 — weights cast at build, the backbone's dequant handoff
+    emits bf16, requant epilogues stay f32. Halves the head's HBM traffic;
+    scores shift within bf16 rounding (decode casts to f32 either way).
 
     mesh: a `jax.sharding.Mesh` (from `lfdtpu.parallel.make_mesh`) to run
     the ONE engine program SPMD over multiple chips — the multi-chip
@@ -163,7 +170,13 @@ def compile_inference(
             act_scales = calibrate_module_amax(
                 detector, variables, frames, preprocess=preprocess
             )
-        run_vars = variables
+        if int8_head_dtype == "bf16":
+            # float remainder (head) runs bf16: cast weights once at build;
+            # the int8 backbone quantizes kernels from the bf16 values
+            # (sub-1e-2 extra rounding on the w_scales)
+            run_vars = cast_variables(variables, jnp.bfloat16)
+        else:
+            run_vars = variables
         compute_dtype = jnp.float32
     else:
         raise ValueError(f"unknown precision {precision}")
@@ -335,6 +348,8 @@ def compile_inference(
                     weight_scales=weight_scales,
                     quantize_input=s2d_pack is None,
                     skip_stem0=s2d_pack is not None,
+                    dequant_dtype=(jnp.bfloat16 if int8_head_dtype == "bf16"
+                                   else jnp.float32),
                 )
         else:
             with _net_ctx(weight_packs, stem_pack, s2d_pack):

