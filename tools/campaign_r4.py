@@ -104,6 +104,16 @@ def cells():
     # --- 3: int8 device-only anchor (attribution + MFU denominator) ---
     dev("dev-int8-L-1080", "WIDERFACE-L", "int8", 1080, 1920)
 
+    # --- 3b: int8 engine attribution EARLY (VERDICT r3 #6): DCE-truncated
+    # prefix programs; consecutive deltas attribute the 6.38 ms, and this
+    # round's optimization work keys off the result ---
+    for stage in ("input", "stem", "backbone", "neck", "net", "full"):
+        out.append(dict(
+            id=f"attrib-int8-L-1080-{stage}", tool="bench_int8_attrib.py",
+            marker="ATTRIB_RESULT ",
+            args=["WIDERFACE-L", "1080", "1920", stage], env={}, timeout=2400,
+        ))
+
     # --- 4: fused-int8 720p + 480p rows (retire the 41 ms table) ---
     for (h, w) in [(720, 1280), (480, 640)]:
         for model, tag in [("WIDERFACE-XS", "XS"), ("WIDERFACE-S", "S"),
@@ -124,23 +134,23 @@ def cells():
     wall("int8-fused-TTL-1080", "TT100K-L", "int8", 1080, 1920)
     wall("int8-fused-TTL-720", "TT100K-L", "int8", 720, 1280)
 
-    # --- 6b: int8 engine attribution (VERDICT r3 #6): DCE-truncated
-    # prefix programs; consecutive deltas attribute the 6.38 ms ---
-    for stage in ("input", "stem", "backbone", "neck", "net", "full"):
+    # --- 6b: (moved to 3b) ---
+    # --- 6c: s2d composed with int8 — ANSWERED: int8-s2d-bf16head-L-1080
+    # measured 10.43 ms (campaign_r4.jsonl) = rejected; the plain
+    # (f32-remainder) variant is strictly worse and is not re-run.
+
+    # --- 6d: per-size int8 engine accuracy (VERDICT r3 #7): mAP_50
+    # delta fp32-engine vs fused-int8-engine on the trained synthetic
+    # model, real-crop calibration ---
+    for model, tag in [("WIDERFACE-XS", "XS"), ("WIDERFACE-S", "S"),
+                       ("WIDERFACE-M", "M"), ("WIDERFACE-L", "L")]:
         out.append(dict(
-            id=f"attrib-int8-L-1080-{stage}", tool="bench_int8_attrib.py",
-            marker="ATTRIB_RESULT ",
-            args=["WIDERFACE-L", "1080", "1920", stage], env={}, timeout=2400,
+            id=f"int8-quality-{tag}", tool="int8_quality_cell.py",
+            marker="QUALITY_RESULT ",
+            args=[model], env={}, timeout=3600,
         ))
 
-    # --- 6c: s2d composed with int8 (VERDICT r3 #6's one unexplored
-    # lever: s2d's bf16 loss was HBM-traffic-bound; int8 halves it) ---
-    wall("int8-s2d-L-1080", "WIDERFACE-L", "int8", 1080, 1920,
-         kwargs={"s2d_stem": True})
-    wall("int8-s2d-S-1080", "WIDERFACE-S", "int8", 1080, 1920,
-         kwargs={"s2d_stem": True})
-
-    # --- 6d: int8 MFU next to bf16's 8.3% (VERDICT r3 #6) ---
+    # --- 6e: int8 MFU next to bf16's 8.3% (VERDICT r3 #6) ---
     out.append(dict(
         id="mfu-int8-L-1080", tool="bench_mfu.py", marker="MFU_RESULT ",
         args=["WIDERFACE-L", "int8", "1080", "1920"], env={}, timeout=2400,
