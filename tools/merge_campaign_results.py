@@ -87,6 +87,21 @@ def main():
             sweep.append(row)
             added += 1
             by_key[key(r)] = len(sweep) - 1
+    # The pre-campaign int8 sweep rows measured the RETIRED round-2
+    # unfused engine (per-conv dequant/requant; BENCH.md "INT8 history").
+    # Any int8 row not re-measured by a fused-chain campaign cell is
+    # dropped rather than published: the renderer prints "–" for it.
+    fused_int8 = {key(r) for r in base if r["precision"] == "int8"}
+    stale = [s for s in sweep if s["precision"] == "int8"
+             and (s["model"], s["precision"], s["height"], s["width"])
+             not in fused_int8]
+    if stale:
+        sweep = [s for s in sweep if s["precision"] != "int8"
+                 or (s["model"], s["precision"], s["height"], s["width"])
+                 in fused_int8]
+        by_key = {(r["model"], r["precision"], r["height"], r["width"]): i
+                  for i, r in enumerate(sweep)}
+        print(f"dropped {len(stale)} stale (unfused-engine) int8 rows")
     # attach device-only times to their wall-slope rows so the rendered
     # tables carry the dispatch-floor evidence inline (VERDICT r3 #1)
     for r in device:
