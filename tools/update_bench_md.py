@@ -22,23 +22,121 @@ sys.path.insert(0, HERE)
 BEGIN = "<!-- SWEEP_TABLES -->"
 END = "<!-- /SWEEP_TABLES -->"
 
+_STAGE_LABEL = {
+    "input": "input (device preprocess + quantize + int8 write)",
+    "stem": "+ stem convs (int8)",
+    "backbone": "+ body stages (fused requant chain)",
+    "neck": "+ neck",
+    "net": "+ head (dequant handoff + float head convs)",
+    "full": "+ decode + NMS (= complete engine)",
+}
+_STAGE_ORDER = {s: i for i, s in enumerate(_STAGE_LABEL)}
+
+
+def _campaign_rows():
+    from merge_campaign_results import load_jsonl
+
+    return [r for r in load_jsonl([
+        os.path.join(REPO, "campaign_r3.jsonl"),
+        os.path.join(REPO, "campaign_r4.jsonl"),
+    ]) if "error" not in r]
+
+
+def render_attrib(campaign):
+    rows = sorted((r for r in campaign if "stage" in r),
+                  key=lambda r: (r["model"], r["height"],
+                                 _STAGE_ORDER.get(r["stage"], 9)))
+    if not rows:
+        return None
+    lines = ["| prefix (WIDERFACE-L int8 1920×1080) | ms | Δ ms (= stage cost) |",
+             "|---|---|---|"]
+    prev = None
+    for r in rows:
+        ms = r["ms_per_image"]
+        d = "" if prev is None else f"+{ms - prev:.2f}"
+        lines.append(f"| {_STAGE_LABEL.get(r['stage'], r['stage'])} |"
+                     f" {ms:.2f} | {d} |")
+        prev = ms
+    mfu = next((r for r in campaign
+                if r["id"].startswith("mfu-int8")), None)
+    if mfu:
+        lines += ["", f"int8 MFU at 1080p-L:"
+                      f" {mfu['flops'] / 1e9:.1f} GFLOP (XLA cost analysis)"
+                      f" / {mfu['ms_per_image']:.2f} ms ="
+                      f" **{mfu['mfu'] * 100:.1f}% MFU** against the 394"
+                      f" TOP/s int8 peak (bf16 measures 8.3% against its"
+                      f" 197 TFLOP/s peak)"]
+    return "\n".join(lines)
+
+
+def render_quality(campaign):
+    rows = sorted((r for r in campaign if "int8_delta" in r),
+                  key=lambda r: r["id"])
+    if not rows:
+        return None
+    lines = ["| model | fp32-engine mAP_50 | fused-int8 mAP_50 | delta |",
+             "|---|---|---|---|"]
+    for r in rows:
+        lines.append(f"| {r['model']} | {r['mAP_50_fp32_engine']:.3f} |"
+                     f" {r['mAP_50_int8_engine']:.3f} |"
+                     f" {r['int8_delta']:+.3f} |")
+    return "\n".join(lines)
+
+
+def render_batch(campaign, sweep):
+    rows = sorted((r for r in campaign
+                   if "ms_per_image" in r and r.get("batch", 1) > 1),
+                  key=lambda r: (r["model"], r["height"], r["batch"]))
+    if not rows:
+        return None
+    b1 = {(s["model"], s["precision"], s["height"], s["width"]):
+          s["ms_per_image"] for s in sweep}
+    from render_bench_tables import REF_MS
+
+    lines = ["| model / cell | batch | ms/image | img/s | batch-1 | ref (TRT, b1, net-only) |",
+             "|---|---|---|---|---|---|"]
+    for r in rows:
+        k = (r["model"], r["precision"], r["height"], r["width"])
+        base = b1.get(k)
+        ref = REF_MS.get(k)
+        lines.append(
+            f"| {r['model']} {r['precision']} {r['width']}×{r['height']} |"
+            f" {r['batch']} | **{r['ms_per_image']:.2f}** |"
+            f" {1000.0 / r['ms_per_image']:.0f}"
+            + (f" | {base:.2f}" if base is not None else " | –")
+            + (f" | {ref:.2f} |" if ref is not None else " | – |"))
+    return "\n".join(lines)
+
+
+def _splice(src, begin, end, body):
+    if begin not in src or body is None:
+        return src
+    i = src.index(begin) + len(begin)
+    j = src.index(end)
+    return src[:i] + "\n\n" + body + "\n\n" + src[j:]
+
 
 def main():
     from render_bench_tables import render
 
     with open(os.path.join(REPO, "bench_sweep_results.json")) as f:
         results = json.load(f)
-    tables = render(results)
+    campaign = _campaign_rows()
 
     path = os.path.join(REPO, "BENCH.md")
     with open(path) as f:
         src = f.read()
-    i = src.index(BEGIN) + len(BEGIN)
-    j = src.index(END)
-    out = src[:i] + "\n\n" + tables + "\n" + src[j:]
+    src = _splice(src, BEGIN, END, render(results))
+    src = _splice(src, "<!-- INT8_ATTRIB -->", "<!-- /INT8_ATTRIB -->",
+                  render_attrib(campaign))
+    src = _splice(src, "<!-- INT8_QUALITY -->", "<!-- /INT8_QUALITY -->",
+                  render_quality(campaign))
+    src = _splice(src, "<!-- BATCH_TABLE -->", "<!-- /BATCH_TABLE -->",
+                  render_batch(campaign, results))
     with open(path, "w") as f:
-        f.write(out)
-    print(f"BENCH.md sweep tables regenerated ({len(results)} rows)")
+        f.write(src)
+    print(f"BENCH.md tables regenerated ({len(results)} sweep rows,"
+          f" {len(campaign)} campaign cells)")
 
 
 if __name__ == "__main__":
