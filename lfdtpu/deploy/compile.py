@@ -65,6 +65,7 @@ def compile_inference(
     batch_size=1,
     act_scales=None,
     approx_topk=False,
+    nms_use_pallas=None,
     pallas_convs="auto",
     pallas_stem=False,
     s2d_stem=False,
@@ -139,6 +140,8 @@ def compile_inference(
     )
     if approx_topk:
         spec = dataclasses.replace(spec, approx_topk=True)
+    if nms_use_pallas is not None:
+        spec = dataclasses.replace(spec, nms_use_pallas=nms_use_pallas)
 
     if precision == "fp32":
         run_vars = variables

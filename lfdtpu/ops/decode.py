@@ -43,13 +43,16 @@ class DecodeSpec:
     # caller must then pass `level_sizes` to decode_predictions.
     per_level_limit: int = 0
     # use jax.lax.approx_max_k for the stage-1 candidate selection: the
-    # TPU-native partial reduction instead of a full sort (~1 ms at
-    # P≈174k/1080p). Only the SELECTION is approximate (recall_target
-    # 0.99 among near-threshold tail candidates); kept detections'
-    # scores/boxes are exact. Deployment engines enable it by default
-    # (the reference's TRT fp16/int8 engines are likewise not bit-exact
-    # vs torch); predict_for_single_image keeps the exact path.
+    # TPU-native partial reduction instead of a full sort. Only the
+    # SELECTION is approximate (recall_target 0.99 among near-threshold
+    # tail candidates); kept detections' scores/boxes are exact. Opt-in
+    # (compile_inference(approx_topk=True)); the default path is exact
+    # and bit-identical to predict_for_single_image.
     approx_topk: bool = False
+    # NMS keep-mask backend: None = auto (Pallas VMEM kernel on TPU when
+    # the (K, K) matrix fits, lax fixpoint otherwise); True/False force.
+    # Exposed so engine variants can measure the two backends end-to-end.
+    nms_use_pallas: bool | None = None
 
 
 def _decode_distances(reg, points, ranges, mode):
@@ -187,6 +190,7 @@ def decode_predictions(
         spec.nms_iou,
         valid=cand_valid,
         class_agnostic=spec.class_agnostic,
+        use_pallas=spec.nms_use_pallas,
     )
 
     neg_inf = jnp.asarray(-jnp.inf, cand_scores.dtype)

@@ -227,7 +227,8 @@ def nms_mask(boxes, scores, iou_thr, valid=None, use_pallas=None):
     return keep
 
 
-def batched_nms_jax(boxes, scores, idxs, iou_thr, valid=None, class_agnostic=False):
+def batched_nms_jax(boxes, scores, idxs, iou_thr, valid=None,
+                    class_agnostic=False, use_pallas=None):
     """Per-class NMS in one call via the class-offset trick
     (`lfd/model/utils/nms.py:119-158`). Returns a keep mask (K,)."""
     if class_agnostic:
@@ -236,7 +237,8 @@ def batched_nms_jax(boxes, scores, idxs, iou_thr, valid=None, class_agnostic=Fal
         max_coord = jnp.max(jnp.where((valid if valid is not None else True), boxes.max(axis=-1), 0.0))
         offsets = idxs.astype(boxes.dtype) * (max_coord + 1.0)
         boxes_for_nms = boxes + offsets[:, None]
-    return nms_mask(boxes_for_nms, scores, iou_thr, valid=valid)
+    return nms_mask(boxes_for_nms, scores, iou_thr, valid=valid,
+                    use_pallas=use_pallas)
 
 
 @partial(jax.jit, static_argnames=("score_thr", "iou_thr", "max_num", "class_agnostic"))

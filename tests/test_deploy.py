@@ -569,3 +569,28 @@ def test_bucketed_engine_set_routes_and_matches():
     with pytest.raises(ValueError):
         bset.engine_for(100, 100)
     assert isinstance(rows_small, list)
+
+
+def test_decode_knobs_preserve_results():
+    """approx_topk (stage-1 approx_max_k) and nms_use_pallas=False (forced
+    lax fixpoint) are latency knobs, not semantics knobs: on the same
+    weights/image they must reproduce the default engine's detections.
+    (approx_topk selection is approximate only among sub-threshold tail
+    candidates at recall 0.99; on a tiny scene it is exact.)"""
+    det, variables, img = _engine_setup()
+    pre = make_device_preprocess((0.5, 0.5, 0.5), (0.5, 0.5, 0.5))
+    vhw = jnp.asarray([64.0, 64.0])
+    base = compile_inference(det, variables, (64, 64), "fp32", preprocess=pre,
+                             classification_threshold=0.01)
+    d0 = base(jnp.asarray(img), vhw)
+    for kw in ({"approx_topk": True}, {"nms_use_pallas": False},
+               {"approx_topk": True, "nms_use_pallas": False}):
+        e = compile_inference(det, variables, (64, 64), "fp32",
+                              preprocess=pre, classification_threshold=0.01,
+                              **kw)
+        d = e(jnp.asarray(img), vhw)
+        assert int(d["count"][0]) == int(d0["count"][0]), kw
+        n = int(d0["count"][0])
+        np.testing.assert_allclose(np.asarray(d["boxes"][0][:n]),
+                                   np.asarray(d0["boxes"][0][:n]),
+                                   atol=1e-5, err_msg=str(kw))

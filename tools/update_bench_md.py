@@ -28,7 +28,11 @@ _STAGE_LABEL = {
     "backbone": "+ body stages (fused requant chain)",
     "neck": "+ neck",
     "net": "+ head (dequant handoff + float head convs)",
-    "full": "+ decode + NMS (= complete engine)",
+    "decode:probs": "+ sigmoid + point mask + per-point max (P≈174k)",
+    "decode:top1": "+ stage-1 top_k(P→1000) + candidate gathers",
+    "decode:cand": "+ stage-2 (point,class) top_k + box decode",
+    "decode:nms": "+ class-offset NMS keep mask",
+    "full": "+ final ordering/output (= complete engine)",
 }
 _STAGE_ORDER = {s: i for i, s in enumerate(_STAGE_LABEL)}
 

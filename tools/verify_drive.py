@@ -214,6 +214,22 @@ assert nc == n8, (nc, n8)
 assert bestc >= 0.9, bestc
 print("INT8+S2D ENGINE OK")
 
+# decode latency knobs (round 4): approx_topk (stage-1 approx_max_k) and
+# nms_use_pallas=False (forced lax fixpoint) must reproduce the default
+# fp32 engine's detections exactly on this scene — they are latency
+# knobs, not semantics knobs (ops/decode.py DecodeSpec).
+engk = compile_inference(det, variables, (128, 128), precision="fp32",
+                         preprocess=make_device_preprocess((0.0, 0.0, 0.0), (1.0, 1.0, 1.0)),
+                         classification_threshold=0.3, approx_topk=True,
+                         nms_use_pallas=False)
+dk = engk(scene_u8[None], np.asarray([128, 128], np.float32))
+nk = int(np.asarray(dk["count"])[0])
+assert nk == n1, (nk, n1)
+knob_drift = float(np.max(np.abs(np.asarray(dk["boxes"])[0][:nk] - b1))) if nk else 0.0
+print("approx_topk+laxnms max box delta:", knob_drift)
+assert knob_drift <= 1e-3, knob_drift
+print("DECODE KNOB ENGINE OK")
+
 print("DRIVE_RESULT " + json.dumps(dict(
     loss0=round(loss0, 3), loss_final=round(loss_final, 4),
     best_iou=round(float(best), 3),
@@ -222,5 +238,7 @@ print("DRIVE_RESULT " + json.dumps(dict(
     int8_s2d_iou=round(float(bestc), 3),
     s2d_max_box_delta=round(s2d_drift, 5),
     int8_roundtrip_max_box_delta=round(int8_rt_drift, 5),
-    engines_ok=["fp32", "bf16", "int8", "int8+s2d", "split", "s2d"],
+    engines_ok=["fp32", "bf16", "int8", "int8+s2d", "split", "s2d",
+                "approx_topk+laxnms"],
+    decode_knob_max_box_delta=round(knob_drift, 6),
 )))
