@@ -193,16 +193,23 @@ def decode_predictions(
         use_pallas=spec.nms_use_pallas,
     )
 
+    # Final ordering: top max_det kept rows by score. lax.top_k, NOT
+    # argsort — top_k has a dedicated fast TPU lowering while argsort is
+    # a general variadic sort that measured +0.7 ms of the engine's
+    # +1.58 ms decode cost at 1080p (campaign_r4 attrib-decode-* cells).
+    # Non-kept rows sink to -inf, so "kept rows, descending score" is
+    # preserved exactly; only the order among exactly-tied scores can
+    # differ from a sort (top_k breaks ties by ascending index).
     neg_inf = jnp.asarray(-jnp.inf, cand_scores.dtype)
-    order = jnp.argsort(jnp.where(keep, cand_scores, neg_inf))[::-1]
+    masked = jnp.where(keep, cand_scores, neg_inf)
     md = spec.max_det
-    if md <= order.shape[0]:
-        out_idx = order[:md]
-        out_keep = keep[out_idx]
-    else:  # fewer candidates than max_det: pad with dead rows
-        pad = md - order.shape[0]
-        out_idx = jnp.concatenate([order, jnp.zeros((pad,), order.dtype)])
-        out_keep = jnp.concatenate([keep[order], jnp.zeros((pad,), bool)])
+    k = min(md, masked.shape[0])
+    _, out_idx = jax.lax.top_k(masked, k)
+    out_keep = keep[out_idx]
+    if md > k:  # fewer candidates than max_det: pad with dead rows
+        pad = md - k
+        out_idx = jnp.concatenate([out_idx, jnp.zeros((pad,), out_idx.dtype)])
+        out_keep = jnp.concatenate([out_keep, jnp.zeros((pad,), bool)])
     count = jnp.sum(out_keep.astype(jnp.int32))
 
     zero = jnp.zeros((md,), boxes.dtype)

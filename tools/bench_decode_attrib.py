@@ -32,7 +32,7 @@ import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-STAGES = ("probs", "top1", "cand", "nms")
+STAGES = ("probs", "top1", "cand", "nms", "out")
 
 
 def main():
@@ -95,7 +95,7 @@ def main():
             sel_points = points[top_idx]
             sel_ranges = ranges[top_idx]
             vals = [sel_probs, sel_reg, sel_points, sel_ranges]
-        if stage in ("cand", "nms"):
+        if stage in ("cand", "nms", "out"):
             flat_scores = sel_probs.reshape(-1)
             flat_valid = flat_scores > spec.score_thr
             kb = min(spec.nms_budget, kp * C)
@@ -114,11 +114,28 @@ def main():
             y2 = jnp.clip(px[:, 1] + dist[:, 3], 0, h)
             boxes = jnp.stack([x1, y1, x2, y2], axis=-1)
             vals = [boxes, cand_scores, cand_label]
-        if stage == "nms":
+        if stage in ("nms", "out"):
             keep = batched_nms_jax(boxes, cand_scores, cand_label,
                                    spec.nms_iou, valid=cand_valid,
                                    class_agnostic=spec.class_agnostic)
             vals = [keep, boxes, cand_scores]
+        if stage == "out":
+            # the COMPLETE output assembly (same ops as decode_predictions'
+            # tail), but returned as one scalar reduction instead of 4 real
+            # output arrays — separates assembly COMPUTE from per-call
+            # output materialization overhead (the int8-topkorder cell
+            # measured the argsort->top_k swap latency-neutral, so the
+            # +0.7 ms final delta needs this split)
+            neg_inf = jnp.asarray(-jnp.inf, cand_scores.dtype)
+            masked = jnp.where(keep, cand_scores, neg_inf)
+            md = spec.max_det
+            _, out_idx = jax.lax.top_k(masked, min(md, masked.shape[0]))
+            out_keep = keep[out_idx]
+            zero = jnp.zeros((out_idx.shape[0],), boxes.dtype)
+            vals = [jnp.where(out_keep[:, None], boxes[out_idx], 0.0),
+                    jnp.where(out_keep, cand_scores[out_idx], zero),
+                    jnp.where(out_keep, cand_label[out_idx], 0),
+                    jnp.sum(out_keep.astype(jnp.int32))]
 
         acc = jnp.float32(0.0)
         for v in vals:
