@@ -1,4 +1,5 @@
-from .compile import compile_inference, make_device_preprocess, cast_variables
+from .compile import (compile_inference, make_device_preprocess,
+                      cast_variables, unpack_detections)
 from .latency import timing_inference, inference_latency_evaluation
 from .quantize import Int8Calibrator, quantize_variables_int8
 from .int8_net import (

@@ -52,6 +52,44 @@ def make_device_preprocess(mean, std, max_pixel_value=255.0, bgr2rgb=False):
     return preprocess
 
 
+def _pack_detections(out):
+    """Fuse the decode dict into ONE (B, max_det, 7) output array
+    [x1, y1, x2, y2, score, label, valid]. Host side: `unpack_detections`.
+
+    Why it exists / what it measured (campaign_r4): the attrib-decode
+    cells showed the engine's last ~0.65 ms appears only when the real
+    multi-buffer output is materialized (decode:out 5.76 ms vs full
+    engine 6.40 ms), so one packed buffer was tried as a fix. MEASURED
+    RESULT: latency-neutral — int8-packed 6.51 vs 6.40 unpacked,
+    bf16-packed 6.68 vs 6.79 (both within run-to-run spread). The cost
+    is the output materialization itself (HBM write + transfer window),
+    not the number of buffers. Kept default-off as a host-convenience
+    knob (one D2H fetch instead of four), not a latency recommendation."""
+    boxes, scores = out["boxes"], out["scores"]
+    labels, count = out["labels"], out["count"]
+    md = boxes.shape[-2]
+    valid = (jnp.arange(md) < count[..., None]).astype(boxes.dtype)
+    return jnp.concatenate(
+        [boxes, scores[..., None], labels[..., None].astype(boxes.dtype),
+         valid[..., None]], axis=-1)
+
+
+def unpack_detections(packed):
+    """Host-side inverse of the pack_output engine mode: (..., max_det, 7)
+    -> the standard decode dict (numpy): boxes (..., max_det, 4),
+    scores, labels (int32), count (int32). One D2H fetch of the single
+    packed buffer replaces four."""
+    import numpy as np
+
+    a = np.asarray(packed)
+    return dict(
+        boxes=a[..., :4],
+        scores=a[..., 4],
+        labels=a[..., 5].astype(np.int32),
+        count=a[..., 6].astype(np.int32).sum(axis=-1),
+    )
+
+
 def compile_inference(
     detector,
     variables,
@@ -72,6 +110,7 @@ def compile_inference(
     split=False,
     mesh=None,
     int8_head_dtype=None,
+    pack_output=False,
 ):
     """Build ("compile") one inference engine.
 
@@ -357,7 +396,10 @@ def compile_inference(
         else:
             with _net_ctx(weight_packs, stem_pack, s2d_pack):
                 cls_o, reg_o = detector.net.apply(run_vars, x, train=False)
-        return _decode(cls_o, reg_o, level_arrays, valid_hw)
+        out = _decode(cls_o, reg_o, level_arrays, valid_hw)
+        if pack_output:
+            out = _pack_detections(out)
+        return out
 
     if mesh is None:
         _engine = jax.jit(_engine_impl)

@@ -594,3 +594,32 @@ def test_decode_knobs_preserve_results():
         np.testing.assert_allclose(np.asarray(d["boxes"][0][:n]),
                                    np.asarray(d0["boxes"][0][:n]),
                                    atol=1e-5, err_msg=str(kw))
+
+
+def test_packed_output_engine_matches_default():
+    """pack_output=True returns ONE (B, max_det, 7) buffer whose
+    unpack_detections equals the default engine's 4-buffer dict (the
+    packing exists because each extra output buffer costs ~0.17 ms/call
+    on the remote backend — BENCH.md int8 attribution)."""
+    from lfdtpu.deploy import unpack_detections
+
+    det, variables, img = _engine_setup()
+    pre = make_device_preprocess((0.5, 0.5, 0.5), (0.5, 0.5, 0.5))
+    vhw = jnp.asarray([64.0, 64.0])
+    base = compile_inference(det, variables, (64, 64), "fp32", preprocess=pre,
+                             classification_threshold=0.01)
+    packed_eng = compile_inference(det, variables, (64, 64), "fp32",
+                                   preprocess=pre,
+                                   classification_threshold=0.01,
+                                   pack_output=True)
+    d0 = base(jnp.asarray(img), vhw)
+    packed = packed_eng(jnp.asarray(img), vhw)
+    assert packed.shape[-1] == 7
+    d = unpack_detections(packed)
+    n = int(np.asarray(d0["count"])[0])
+    assert int(d["count"][0]) == n
+    np.testing.assert_allclose(d["boxes"][0][:n],
+                               np.asarray(d0["boxes"])[0][:n], atol=1e-6)
+    np.testing.assert_allclose(d["scores"][0][:n],
+                               np.asarray(d0["scores"])[0][:n], atol=1e-6)
+    assert (d["labels"][0][:n] == np.asarray(d0["labels"])[0][:n]).all()

@@ -86,11 +86,10 @@ def main():
                          timing_loops=loops if loops else None,
                          distinct_inputs=distinct)
     if batch > 1:
-        for k in ("ms_per_image", "ms_mean", "ms_min", "ms_p25", "ms_p75",
-                  "ms_p95"):
-            if k in r:
-                r[k] = r[k] / batch
-        r["fps"] = 1000.0 / r["ms_per_image"]
+        # timing_inference ALREADY normalizes by images.shape[0]
+        # (latency.py slope / batch) — the original round-4 batch cells
+        # divided a second time here and reported batch× too fast;
+        # corrected rows in campaign_r4.jsonl carry "corrected" markers.
         r["batch"] = batch
     r.update(
         model=model_name, precision=precision, height=h, width=w,

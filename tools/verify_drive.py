@@ -230,6 +230,21 @@ print("approx_topk+laxnms max box delta:", knob_drift)
 assert knob_drift <= 1e-3, knob_drift
 print("DECODE KNOB ENGINE OK")
 
+# packed-output engine (round 4): ONE (B, max_det, 7) output buffer
+# instead of 4 — must carry identical detections through unpack
+from lfdtpu.deploy import unpack_detections
+
+engp = compile_inference(det, variables, (128, 128), precision="fp32",
+                         preprocess=make_device_preprocess((0.0, 0.0, 0.0), (1.0, 1.0, 1.0)),
+                         classification_threshold=0.3, pack_output=True)
+dp = unpack_detections(engp(scene_u8[None], np.asarray([128, 128], np.float32)))
+np_ = int(dp["count"][0])
+assert np_ == n1, (np_, n1)
+packed_drift = float(np.max(np.abs(dp["boxes"][0][:np_] - b1))) if np_ else 0.0
+print("packed-output max box delta:", packed_drift)
+assert packed_drift <= 1e-3, packed_drift
+print("PACKED OUTPUT ENGINE OK")
+
 print("DRIVE_RESULT " + json.dumps(dict(
     loss0=round(loss0, 3), loss_final=round(loss_final, 4),
     best_iou=round(float(best), 3),
@@ -239,6 +254,6 @@ print("DRIVE_RESULT " + json.dumps(dict(
     s2d_max_box_delta=round(s2d_drift, 5),
     int8_roundtrip_max_box_delta=round(int8_rt_drift, 5),
     engines_ok=["fp32", "bf16", "int8", "int8+s2d", "split", "s2d",
-                "approx_topk+laxnms"],
+                "approx_topk+laxnms", "packed"],
     decode_knob_max_box_delta=round(knob_drift, 6),
 )))
