@@ -62,6 +62,10 @@ def main():
             device.append(r)
         elif "ms_per_step" in r:
             trains.append(r)
+        elif "flops" in r:
+            # MFU cells re-time the engine at high loop counts; they are
+            # evidence for the MFU line, not sweep-table replacements
+            other.append(r)
         elif "stage" in r:
             attribs.append(r)
         elif "int8_delta" in r:

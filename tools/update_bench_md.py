@@ -32,7 +32,8 @@ _STAGE_LABEL = {
     "decode:top1": "+ stage-1 top_k(P→1000) + candidate gathers",
     "decode:cand": "+ stage-2 (point,class) top_k + box decode",
     "decode:nms": "+ class-offset NMS keep mask",
-    "full": "+ final ordering/output (= complete engine)",
+    "decode:out": "+ final ordering + output-assembly compute (scalar out)",
+    "full": "+ real multi-buffer output materialization (= complete engine)",
 }
 _STAGE_ORDER = {s: i for i, s in enumerate(_STAGE_LABEL)}
 
@@ -57,7 +58,7 @@ def render_attrib(campaign):
     prev = None
     for r in rows:
         ms = r["ms_per_image"]
-        d = "" if prev is None else f"+{ms - prev:.2f}"
+        d = "" if prev is None else f"{ms - prev:+.2f}"
         lines.append(f"| {_STAGE_LABEL.get(r['stage'], r['stage'])} |"
                      f" {ms:.2f} | {d} |")
         prev = ms
@@ -103,10 +104,19 @@ def render_batch(campaign, sweep):
         k = (r["model"], r["precision"], r["height"], r["width"])
         base = b1.get(k)
         ref = REF_MS.get(k)
+        ms = r["ms_per_image"]
+        cell = f"**{ms:.2f}**"
+        if "ms_p25" in r:
+            cell += f" ±[{r['ms_p25']:.2f},{r['ms_p75']:.2f}]"
+        # slope fits on sub-ms segments can go unstable (a negative
+        # per-segment increment means noise exceeded the signal) — flag
+        # rather than hide
+        if r.get("ms_min", 1.0) <= 0:
+            cell += " (noisy fit)"
         lines.append(
             f"| {r['model']} {r['precision']} {r['width']}×{r['height']} |"
-            f" {r['batch']} | **{r['ms_per_image']:.2f}** |"
-            f" {1000.0 / r['ms_per_image']:.0f}"
+            f" {r['batch']} | {cell} |"
+            f" {1000.0 / ms:.0f}"
             + (f" | {base:.2f}" if base is not None else " | –")
             + (f" | {ref:.2f} |" if ref is not None else " | – |"))
     return "\n".join(lines)
