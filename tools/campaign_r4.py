@@ -236,14 +236,18 @@ def main():
         f"({len(done)} inherited/done)")
     seen = {c["id"] for c in todo} | set(done)
     wait_for_tunnel()
-    while pending:
-        # extras file first: lets new tools land mid-campaign
+    while True:
+        # extras file first: lets new tools land mid-campaign (also checked
+        # before the empty-queue exit so a relaunch with all builtin cells
+        # done still drains a freshly appended extras file)
         extra = load_extra(seen)
         if extra:
             say(f"picked up {len(extra)} extra cells: "
                 + ", ".join(c["id"] for c in extra))
             pending = extra + pending
             seen |= {c["id"] for c in extra}
+        if not pending:
+            break
         cell = pending.pop(0)
         say(f"running {cell['id']} ...")
         r = run_cell(cell)

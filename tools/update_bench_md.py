@@ -89,8 +89,14 @@ def render_quality(campaign):
 
 
 def render_batch(campaign, sweep):
-    rows = sorted((r for r in campaign
-                   if "ms_per_image" in r and r.get("batch", 1) > 1),
+    # one row per physical cell: a later re-measure (e.g. the clean v2 of
+    # a cell first published via the double-division correction) wins
+    dedup = {}
+    for r in campaign:
+        if "ms_per_image" in r and r.get("batch", 1) > 1:
+            dedup[(r["model"], r["precision"], r["height"], r["width"],
+                   r["batch"])] = r
+    rows = sorted(dedup.values(),
                   key=lambda r: (r["model"], r["height"], r["batch"]))
     if not rows:
         return None
