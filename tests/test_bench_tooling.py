@@ -117,3 +117,42 @@ def test_update_bench_md_renderers_handle_campaign_shapes():
     assert u.render_attrib([]) is None
     assert u.render_quality([]) is None
     assert u.render_batch([], sweep) is None
+
+
+def test_render_best_mode_picks_best_across_modes_and_flags_verdicts():
+    import update_bench_md as u
+
+    sweep = [
+        # 1080p L: int8 batch-1 beats the reference's best (6.83 INT8)
+        _cell("WIDERFACE-L", "bf16", 1080, 1920, 6.79),
+        _cell("WIDERFACE-L", "int8", 1080, 1920, 6.39),
+        # 480p XS: every batch-1 mode loses to ref 1.09 INT8 ...
+        _cell("WIDERFACE-XS", "bf16", 480, 640, 1.41, ms_device=0.54),
+        # 720p M: loses with no device evidence -> bare LOSS
+        _cell("WIDERFACE-M", "bf16", 720, 1280, 3.50),
+    ]
+    campaign = [
+        # ... but the batch-8 cell wins the XS 480p row
+        _cell("WIDERFACE-XS", "bf16", 480, 640, 0.41, batch=8),
+    ]
+    out = u.render_best_mode(campaign, sweep)
+    lines = {l.split("|")[1].strip(): l for l in out.splitlines()
+             if l.startswith("| ")}
+    l1080 = lines["WIDERFACE-L 1920×1080"]
+    assert "6.83 (INT8)" in l1080 and "6.39 (int8)" in l1080
+    assert "**WIN**" in l1080
+    xs = lines["WIDERFACE-XS 640×480"]
+    assert "0.41 (bf16 batch-8)" in xs and "**WIN**" in xs
+    m = lines["WIDERFACE-M 1280×720"]
+    assert "**LOSS**" in m and "device" not in m
+    assert "2 wins / 0 parity / 1 losses" in out
+    # parity band: within 0.15 ms either way
+    sweep2 = [_cell("WIDERFACE-L", "int8", 1080, 1920, 6.90)]
+    out2 = u.render_best_mode([], sweep2)
+    assert "parity (within jitter)" in out2
+    # device-time evidence prints on losing cells when attached
+    sweep3 = [_cell("WIDERFACE-XS", "bf16", 480, 640, 1.41, ms_device=0.54)]
+    out3 = u.render_best_mode([], sweep3)
+    assert "device-only 0.54 ms → device WINS" in out3
+    # no measured cells -> None (section left as-is)
+    assert u.render_best_mode([], []) is None
