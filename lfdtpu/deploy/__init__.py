@@ -10,6 +10,7 @@ from .int8_net import (
 )
 from .engine_io import save_engine, load_engine, predict_padded
 from .buckets import BucketedEngineSet
+from .serving import run_stream, StreamingServer
 
 __all__ = [
     "compile_inference",
@@ -27,4 +28,6 @@ __all__ = [
     "load_engine",
     "predict_padded",
     "BucketedEngineSet",
+    "run_stream",
+    "StreamingServer",
 ]

@@ -156,3 +156,30 @@ def test_render_best_mode_picks_best_across_modes_and_flags_verdicts():
     assert "device-only 0.54 ms → device WINS" in out3
     # no measured cells -> None (section left as-is)
     assert u.render_best_mode([], []) is None
+
+
+def test_render_stream_rows_with_baselines():
+    import update_bench_md as u
+
+    campaign = [
+        _cell("WIDERFACE-L", "int8", 1080, 1920, 33.9,
+              stream_mode="sync", stream_depth=1),
+        _cell("WIDERFACE-L", "int8", 1080, 1920, 7.1,
+              stream_mode="stream-async", stream_depth=8),
+        # re-measure of the same physical cell: later row wins
+        _cell("WIDERFACE-L", "int8", 1080, 1920, 7.0,
+              stream_mode="stream-async", stream_depth=8),
+        # same mode/depth but a packed-output engine: a DISTINCT row
+        _cell("WIDERFACE-L", "int8", 1080, 1920, 36.2,
+              stream_mode="sync", stream_depth=1,
+              engine_kwargs={"pack_output": True}),
+    ]
+    sweep = [_cell("WIDERFACE-L", "int8", 1080, 1920, 6.40, ms_device=6.79)]
+    out = u.render_stream(campaign, sweep)
+    assert "**33.90**" in out and "**7.00**" in out and "**7.10**" not in out
+    assert "6.40" in out and "6.79" in out  # slope + device baselines
+    # sync sorts before stream-async for the same cell
+    assert out.index("sync") < out.index("stream-async")
+    # the packed-output sync row survives dedup and is labeled
+    assert "**36.20**" in out and "sync +pack_output" in out
+    assert u.render_stream([], sweep) is None

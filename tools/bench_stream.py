@@ -1,0 +1,121 @@
+#!/usr/bin/env python
+"""Sustained SERVING throughput for one cell: every image's result is
+fetched to the host (the real serving contract), unlike the sweep's
+slope numbers which amortize one fetch over K enqueues.
+
+Three consumer modes, same engine, fresh process per run:
+  sync          depth-1 submit->fetch loop (what a naive server does —
+                on the remote tunnel each fetch is a ~30 ms round trip,
+                paid serially per image)
+  stream        run_stream(depth=D) with blocking fetches
+  stream-async  run_stream(depth=D, host_prefetch=True): D2H copies
+                start at submit time, so fetch latency pipelines
+                behind device execution
+
+Usage: bench_stream.py MODEL PRECISION H W [images] [depth] [mode]
+Prints one `CELL_RESULT {json}` line (ms_per_image = wall / images,
+including every result's host fetch).
+"""
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main():
+    t0 = time.time()
+    model_name, precision = sys.argv[1], sys.argv[2]
+    h, w = int(sys.argv[3]), int(sys.argv[4])
+    images_n = int(sys.argv[5]) if len(sys.argv) > 5 else 300
+    depth = int(sys.argv[6]) if len(sys.argv) > 6 else 4
+    mode = sys.argv[7] if len(sys.argv) > 7 else "stream-async"
+
+    import numpy as np
+
+    from bench_cell import build_cell
+    from lfdtpu.deploy import compile_inference, run_stream
+
+    act_scales = None
+    if precision == "int8":
+        # calibration in its own process (bench_cell.py docstring: foreign
+        # fetches would degrade this process before the timed loop)
+        out = subprocess.run(
+            [sys.executable, os.path.join(os.path.dirname(__file__),
+                                          "calibrate_cell.py"),
+             model_name, str(h), str(w)],
+            capture_output=True, text=True, check=True,
+        )
+        line = [l for l in out.stdout.splitlines() if l.startswith("AMAX ")][-1]
+        act_scales = json.loads(line[len("AMAX "):])
+
+    # e.g. LFD_BENCH_ENGINE_KWARGS='{"pack_output": true}' — the packed
+    # single-buffer output was latency-NEUTRAL for slope numbers but cuts
+    # the serving contract's per-image fetches from 4 round trips to 1
+    extra = json.loads(os.environ.get("LFD_BENCH_ENGINE_KWARGS", "{}"))
+    # LFD_BENCH_BATCH=N: stream a BATCHED engine — ms_per_image divides
+    # the wall by images*batch (the max-throughput serving composition)
+    batch = int(os.environ.get("LFD_BENCH_BATCH", "1"))
+
+    det, variables, preprocess = build_cell(model_name)
+    divisor = max(det.point_strides)
+    ph = (h + divisor - 1) // divisor * divisor
+    pw = (w + divisor - 1) // divisor * divisor
+    engine = compile_inference(
+        det, variables, (ph, pw), precision=precision, preprocess=preprocess,
+        act_scales=act_scales, batch_size=batch, **extra,
+    )
+
+    import jax
+
+    # rotate distinct pre-uploaded inputs (the runtime memoizes identical
+    # (executable, args) calls)
+    rng = np.random.RandomState(0)
+    variants = [
+        jax.device_put(rng.randint(0, 255, (batch, ph, pw, 3), dtype=np.uint8))
+        for _ in range(8)
+    ]
+    vhw = jax.device_put(np.asarray([h, w], np.float32))
+
+    d = depth if mode != "sync" else 1
+    prefetch = mode == "stream-async"
+
+    def requests(n):
+        for i in range(n):
+            yield (variants[i % len(variants)], vhw)
+
+    def consume(n):
+        count = 0
+        for r in run_stream(engine, requests(n), depth=d,
+                            host_prefetch=prefetch):
+            if isinstance(r, dict):
+                count += int(np.asarray(r["count"]).sum())
+            else:  # pack_output engine: one (B, max_det, 7) buffer
+                count += int(np.asarray(r)[..., 6].astype(np.int32).sum())
+        return count
+
+    consume(max(12, depth + 2))  # warmup: compile + steady-state pipeline
+    t_build = time.time()
+    t1 = time.time()
+    consume(images_n)
+    elapsed = time.time() - t1
+
+    r = dict(
+        model=model_name, precision=precision, height=h, width=w,
+        ms_per_image=elapsed * 1000.0 / (images_n * batch),
+        fps=images_n * batch / elapsed,
+        stream_mode=mode, stream_depth=d, images=images_n,
+        build_s=round(t_build - t0, 1), timing_s=round(elapsed, 1),
+    )
+    if batch > 1:
+        r["batch"] = batch
+    if extra:
+        r["engine_kwargs"] = extra
+    print("CELL_RESULT " + json.dumps(r))
+
+
+if __name__ == "__main__":
+    main()

@@ -128,6 +128,46 @@ def render_batch(campaign, sweep):
     return "\n".join(lines)
 
 
+def render_stream(campaign, sweep):
+    """Streaming-serving rows (tools/bench_stream.py): per-image wall
+    time with EVERY result fetched to the host — the real serving
+    contract, vs the sweep's slope numbers that amortize one fetch over
+    K enqueues. Modes: sync (depth-1 loop), stream (pipelined, blocking
+    fetch), stream-async (pipelined + copy_to_host_async prefetch)."""
+    dedup = {}
+    for r in campaign:
+        if "stream_mode" in r:
+            dedup[(r["model"], r["precision"], r["height"], r["width"],
+                   r["stream_mode"], r["stream_depth"], r.get("batch", 1),
+                   json.dumps(r.get("engine_kwargs", {}), sort_keys=True))] = r
+    rows = sorted(dedup.values(),
+                  key=lambda r: (r["model"], r["precision"], r["height"],
+                                 {"sync": 0, "stream": 1,
+                                  "stream-async": 2}.get(r["stream_mode"], 9),
+                                 json.dumps(r.get("engine_kwargs", {}))))
+    if not rows:
+        return None
+    b1 = {(s["model"], s["precision"], s["height"], s["width"]):
+          (s["ms_per_image"], s.get("ms_device")) for s in sweep}
+    lines = ["| cell | consumer mode | depth | ms/image (all fetched) | img/s | batch-1 slope | device-only |",
+             "|---|---|---|---|---|---|---|"]
+    for r in rows:
+        base, dev = b1.get((r["model"], r["precision"], r["height"],
+                            r["width"]), (None, None))
+        ms = r["ms_per_image"]
+        lines.append(
+            f"| {r['model']} {r['precision']} {r['width']}×{r['height']} |"
+            f" {r['stream_mode']}"
+            + ("".join(f" +{k}" for k in sorted(r["engine_kwargs"]))
+               if r.get("engine_kwargs") else "")
+            + (f" batch-{r['batch']}" if r.get("batch", 1) > 1 else "")
+            + f" | {r['stream_depth']} | **{ms:.2f}** |"
+            f" {1000.0 / ms:.0f}"
+            + (f" | {base:.2f}" if base is not None else " | –")
+            + (f" | {dev:.2f} |" if dev is not None else " | – |"))
+    return "\n".join(lines)
+
+
 def render_best_mode(campaign, sweep):
     """One row per reference-published (model, resolution) cell: the
     reference's best published mode vs OUR best measured mode across
@@ -218,6 +258,8 @@ def main():
                   render_batch(campaign, results))
     src = _splice(src, "<!-- BEST_MODE -->", "<!-- /BEST_MODE -->",
                   render_best_mode(campaign, results))
+    src = _splice(src, "<!-- STREAM_TABLE -->", "<!-- /STREAM_TABLE -->",
+                  render_stream(campaign, results))
     with open(path, "w") as f:
         f.write(src)
     print(f"BENCH.md tables regenerated ({len(results)} sweep rows,"

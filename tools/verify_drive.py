@@ -245,6 +245,27 @@ print("packed-output max box delta:", packed_drift)
 assert packed_drift <= 1e-3, packed_drift
 print("PACKED OUTPUT ENGINE OK")
 
+# streaming serving (round 4): depth-k pipelined run_stream over the fp32
+# engine must return the SAME results as the sync loop, in order, with
+# host_prefetch (copy_to_host_async) on and off
+from lfdtpu.deploy import run_stream
+
+vhw = np.asarray([128, 128], np.float32)
+# distinct inputs per call (the runtime memoizes identical (executable,
+# args) calls, which would bypass the pipeline being tested): the scene
+# shifted by 0/2/4 px — sync results first, then stream must match 1:1
+shifts = [np.roll(scene_u8, s, axis=1) for s in (0, 2, 4, 0, 2)]
+sync_outs = [{k: np.asarray(v) for k, v in eng(s[None], vhw).items()}
+             for s in shifts]
+for prefetch in (True, False):
+    outs = list(run_stream(eng, ((s[None], vhw) for s in shifts), depth=3,
+                           host_prefetch=prefetch))
+    assert len(outs) == len(sync_outs)
+    for o, ref_o in zip(outs, sync_outs):
+        assert int(o["count"][0]) == int(ref_o["count"][0])
+        assert np.array_equal(o["boxes"], ref_o["boxes"])
+print("STREAMING SERVER OK")
+
 print("DRIVE_RESULT " + json.dumps(dict(
     loss0=round(loss0, 3), loss_final=round(loss_final, 4),
     best_iou=round(float(best), 3),
@@ -254,6 +275,6 @@ print("DRIVE_RESULT " + json.dumps(dict(
     s2d_max_box_delta=round(s2d_drift, 5),
     int8_roundtrip_max_box_delta=round(int8_rt_drift, 5),
     engines_ok=["fp32", "bf16", "int8", "int8+s2d", "split", "s2d",
-                "approx_topk+laxnms", "packed"],
+                "approx_topk+laxnms", "packed", "stream"],
     decode_knob_max_box_delta=round(knob_drift, 6),
 )))
