@@ -30,12 +30,10 @@ import numpy as np
 
 
 def _fetch(out):
-    """Device result -> host (numpy) result; blocks until computed."""
-    if isinstance(out, dict):
-        return {k: np.asarray(v) for k, v in out.items()}
-    if isinstance(out, (tuple, list)):
-        return type(out)(np.asarray(v) for v in out)
-    return np.asarray(out)
+    """Device result -> host (numpy) result; blocks until computed.
+    Tree-mapped so namedtuple/dataclass outputs reconstruct correctly
+    (a hand-rolled `type(out)(gen)` breaks namedtuple constructors)."""
+    return jax.tree.map(np.asarray, out)
 
 
 def _prefetch(out):

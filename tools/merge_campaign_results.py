@@ -54,11 +54,15 @@ def main():
 
     errors = [r for r in campaign if "error" in r]
     base, variants, batches, device, other = [], [], [], [], []
-    trains, attribs, quality = [], [], []
+    trains, attribs, quality, streams = [], [], [], []
     for r in campaign:
         if "error" in r:
             continue
-        if "ms_device" in r:
+        if "stream_mode" in r:
+            # serving rows measure per-image wall WITH every result
+            # fetched; they must never fold into the sweep/base tables
+            streams.append(r)
+        elif "ms_device" in r:
             device.append(r)
         elif "ms_per_step" in r:
             trains.append(r)
@@ -167,6 +171,13 @@ def main():
             print(f"  {r['model']}: fp32 {r['mAP_50_fp32_engine']:.3f}"
                   f" int8 {r['mAP_50_int8_engine']:.3f}"
                   f" delta {r['int8_delta']:+.3f}")
+    if streams:
+        print("\n== streaming serving (BENCH.md streaming section) ==")
+        for r in sorted(streams, key=lambda r: r["id"]):
+            print(f"  {r['model']} {r['precision']} {r['width']}x{r['height']}"
+                  f" {r['stream_mode']} depth={r.get('stream_depth')}"
+                  f" batch={r.get('batch', 1)}: {r['ms_per_image']:.2f}"
+                  f" ms/image (all fetched)")
     if other:
         print("\n== other cells ==")
         for r in other:

@@ -53,10 +53,19 @@ def render_attrib(campaign):
                                  _STAGE_ORDER.get(r["stage"], 9)))
     if not rows:
         return None
-    lines = ["| prefix (WIDERFACE-L int8 1920×1080) | ms | Δ ms (= stage cost) |",
+    lines = ["| prefix | ms | Δ ms (= stage cost) |",
              "|---|---|---|"]
     prev = None
+    group = None
     for r in rows:
+        g = (r["model"], r.get("precision", "int8"), r["height"],
+             r.get("width"))
+        if g != group:
+            # deltas are only meaningful within one (model, resolution)
+            # attribution run — reset at group boundaries
+            group, prev = g, None
+            res = f"{g[3]}×{g[2]}" if g[3] else f"{g[2]}p"
+            lines.append(f"| **{g[0]} {g[1]} {res}** | | |")
         ms = r["ms_per_image"]
         d = "" if prev is None else f"{ms - prev:+.2f}"
         lines.append(f"| {_STAGE_LABEL.get(r['stage'], r['stage'])} |"
@@ -93,7 +102,10 @@ def render_batch(campaign, sweep):
     # a cell first published via the double-division correction) wins
     dedup = {}
     for r in campaign:
-        if "ms_per_image" in r and r.get("batch", 1) > 1:
+        if ("ms_per_image" in r and r.get("batch", 1) > 1
+                and "stream_mode" not in r):
+            # stream rows include per-image host fetches; they belong
+            # only to render_stream, never to the batch-throughput table
             dedup[(r["model"], r["precision"], r["height"], r["width"],
                    r["batch"])] = r
     rows = sorted(dedup.values(),
@@ -186,7 +198,8 @@ def render_best_mode(campaign, sweep):
             (s["ms_per_image"], s["precision"], s))
     dedup = {}
     for r in campaign:
-        if "ms_per_image" in r and r.get("batch", 1) > 1:
+        if ("ms_per_image" in r and r.get("batch", 1) > 1
+                and "stream_mode" not in r):
             dedup[(r["model"], r["precision"], r["height"], r["width"],
                    r["batch"])] = r
     for r in dedup.values():
@@ -232,10 +245,12 @@ def render_best_mode(campaign, sweep):
 
 
 def _splice(src, begin, end, body):
-    if begin not in src or body is None:
+    if begin not in src or end not in src or body is None:
         return src
     i = src.index(begin) + len(begin)
     j = src.index(end)
+    if j < i:
+        return src
     return src[:i] + "\n\n" + body + "\n\n" + src[j:]
 
 
