@@ -30,6 +30,7 @@ from .augmentation import (
     typical_coco_train_pipeline,
     typical_coco_val_pipeline,
 )
+from .device_aug import AUG_KEYS, DeviceAugRegionSampler, make_device_augment
 from .loader import DataLoader, ShmDataLoader, pad_annotations
 from .pack import (
     pack_widerface,
@@ -52,6 +53,7 @@ __all__ = [
     "caffe_imagenet_normalize", "standard_normalize", "simple_normalize",
     "simple_widerface_train_pipeline", "simple_widerface_val_pipeline",
     "typical_coco_train_pipeline", "typical_coco_val_pipeline",
+    "AUG_KEYS", "DeviceAugRegionSampler", "make_device_augment",
     "DataLoader", "ShmDataLoader", "pad_annotations",
     "pack_widerface", "pack_coco", "pack_tt100k",
     "pack_mini_for_debug", "check_by_show",

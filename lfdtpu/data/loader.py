@@ -19,10 +19,13 @@ import threading
 
 import numpy as np
 
+from .device_aug import AUG_KEYS
 from .jpeg import decode as jpeg_decode
 from .sample import reserved_keys
 
 __all__ = ["DataLoader", "pad_annotations"]
+
+_NON_META_KEYS = set(reserved_keys) | set(AUG_KEYS)
 
 
 def pad_annotations(annotation_batch, max_boxes):
@@ -154,6 +157,7 @@ class DataLoader:
 
     def _produce_batch(self, index_batch):
         images, annotations, metas = [], [], []
+        aug = {k: [] for k in AUG_KEYS}
         for sample_index in index_batch:
             s = self._process_one(sample_index)
             images.append(s["image"])
@@ -168,21 +172,26 @@ class DataLoader:
                 annotations.append(
                     (np.empty((0, 4), np.float32), np.empty((0,), np.int64))
                 )
-            meta_keys = set(s.keys()) - set(reserved_keys)
+            for k in AUG_KEYS:  # device-aug samplers attach these
+                if k in s:
+                    aug[k].append(s[k])
+            meta_keys = set(s.keys()) - _NON_META_KEYS
             metas.append({k: s[k] for k in meta_keys} if meta_keys else None)
 
         image_batch = self._assemble_images(images)
         gt, labels, mask = pad_annotations(annotations, self._max_boxes)
-        self._batch_queue.put(
-            dict(
-                images=image_batch,
-                annotations=annotations,
-                gt_bboxes=gt,
-                gt_labels=labels,
-                gt_mask=mask,
-                meta=metas,
-            )
+        batch = dict(
+            images=image_batch,
+            annotations=annotations,
+            gt_bboxes=gt,
+            gt_labels=labels,
+            gt_mask=mask,
+            meta=metas,
         )
+        for k, v in aug.items():
+            if v:
+                batch[k] = np.stack(v)
+        self._batch_queue.put(batch)
 
     def __iter__(self):
         if not self._started:
@@ -223,6 +232,12 @@ class ShmDataLoader(DataLoader):
                  augmentation_pipeline=None, num_workers=4,
                  max_boxes_per_image=100, crop_size=None,
                  image_dtype=np.uint8, num_slots=None):
+        # a DeviceAugRegionSampler ships its fixed SOURCE buffer instead of
+        # the crop — the slot image takes buffer_size and three small aux
+        # arrays (scale/translation/flip) ride in the slot too
+        self._aug = hasattr(region_sampler, "buffer_size")
+        if self._aug:
+            crop_size = region_sampler.buffer_size
         assert crop_size is not None, "ShmDataLoader needs the static crop_size"
         super().__init__(
             dataset, dataset_sampler, region_sampler,
@@ -240,7 +255,9 @@ class ShmDataLoader(DataLoader):
         self._gt_bytes = B * N * 4 * 4
         self._lb_bytes = B * N * 4
         self._mk_bytes = B * N
-        slot_bytes = self._img_bytes + self._gt_bytes + self._lb_bytes + self._mk_bytes
+        self._aug_bytes = B * 5 * 4 if self._aug else 0  # scale2+trans2+flip
+        slot_bytes = (self._img_bytes + self._gt_bytes + self._lb_bytes
+                      + self._mk_bytes + self._aug_bytes)
         self._shm = shared_memory.SharedMemory(create=True, size=slot_bytes * self._num_slots)
         self._slot_bytes = slot_bytes
         self._free_slots = self._ctx.Queue()
@@ -259,7 +276,11 @@ class ShmDataLoader(DataLoader):
         lb = np.ndarray((B, N), np.int32, buf, o)
         o += self._lb_bytes
         mk = np.ndarray((B, N), bool, buf, o)
-        return img, gt, lb, mk
+        if not self._aug:
+            return img, gt, lb, mk
+        o += self._mk_bytes
+        aug = np.ndarray((B, 5), np.float32, buf, o)  # [sy,sx,ty,tx,flip]
+        return img, gt, lb, mk, aug
 
     def _worker_func(self):
         while True:
@@ -273,7 +294,8 @@ class ShmDataLoader(DataLoader):
             self._batch_queue.put(slot)
 
     def _fill_slot(self, slot, index_batch):
-        img, gt, lb, mk = self._slot_views(slot)
+        views = self._slot_views(slot)
+        img, gt, lb, mk = views[:4]
         gt[:] = 0
         lb[:] = 0
         mk[:] = False
@@ -291,6 +313,11 @@ class ShmDataLoader(DataLoader):
                 gt[bi, :n] = np.asarray(boxes[:n], np.float32)
                 lb[bi, :n] = np.asarray(s["bbox_labels"][:n], np.int32)
                 mk[bi, :n] = True
+            if self._aug:
+                aug = views[4]
+                aug[bi, 0:2] = s["aug_scale"]
+                aug[bi, 2:4] = s["aug_translation"]
+                aug[bi, 4] = s["aug_flip"]
 
     def __iter__(self):
         if not self._started:
@@ -303,9 +330,16 @@ class ShmDataLoader(DataLoader):
                 raise RuntimeError(
                     f"data loader worker failed: {slot['worker_error']}"
                 )
-            img, gt, lb, mk = self._slot_views(slot)
-            yield dict(images=img, gt_bboxes=gt, gt_labels=lb, gt_mask=mk,
-                       _slot=slot, _loader=self)
+            views = self._slot_views(slot)
+            img, gt, lb, mk = views[:4]
+            batch = dict(images=img, gt_bboxes=gt, gt_labels=lb, gt_mask=mk,
+                         _slot=slot, _loader=self)
+            if self._aug:
+                aug = views[4]
+                batch["aug_scale"] = aug[:, 0:2]
+                batch["aug_translation"] = aug[:, 2:4]
+                batch["aug_flip"] = aug[:, 4]
+            yield batch
 
     def release_slot(self, batch):
         """Return a batch's slot after its arrays were consumed (copied to

@@ -58,8 +58,10 @@ def _rescale_bboxes(bboxes, scale):
     return out
 
 
-def _crop_and_clip(sample, image, scaled_bboxes, labels, crop_x, crop_y, crop_size):
-    """Shared crop + bbox re-clipping (`region_sampler.py:124-144`)."""
+def _clip_boxes(scaled_bboxes, labels, crop_x, crop_y, crop_size):
+    """Bbox re-clipping into crop coords (`region_sampler.py:124-144`) —
+    the box half of _crop_and_clip, shared with the device-aug sampler so
+    its box math is THE SAME code path as the host sampler's."""
     new_bboxes, new_labels = [], []
     for i, b in enumerate(scaled_bboxes):
         nx = max(0, b[0] - crop_x)
@@ -70,6 +72,14 @@ def _crop_and_clip(sample, image, scaled_bboxes, labels, crop_x, crop_y, crop_si
             continue
         new_bboxes.append([nx, ny, nw, nh])
         new_labels.append(labels[i])
+    return new_bboxes, new_labels
+
+
+def _crop_and_clip(sample, image, scaled_bboxes, labels, crop_x, crop_y, crop_size):
+    """Shared crop + bbox re-clipping (`region_sampler.py:124-144`)."""
+    new_bboxes, new_labels = _clip_boxes(
+        scaled_bboxes, labels, crop_x, crop_y, crop_size
+    )
     sample["image"] = crop_from_image(image, (crop_x, crop_y, crop_size, crop_size))
     if new_bboxes:
         sample["bboxes"] = new_bboxes
@@ -132,24 +142,37 @@ class RandomBBoxCropRegionSampler(BaseRegionSampler):
         self._resize_range = resize_range
         self._resize_prob = resize_prob
 
-    def __call__(self, sample):
+    def draw(self, sample):
+        """Draw (scale, crop offsets, scaled boxes) WITHOUT resizing the
+        image — the same random stream as __call__ (cv2.resize consumes no
+        randomness), so the device-aug sampler reuses this verbatim."""
         assert "image" in sample
-        image = sample["image"]
+        h, w = sample["image"].shape[:2]
         if random.random() < self._resize_prob:
             lo, hi = self._resize_range
             scale = random.random() * (hi - lo) + lo
         else:
             scale = 1.0
-        image = cv2.resize(image, (0, 0), fx=scale, fy=scale)
         bboxes = sample.get("bboxes", [])
         labels = sample.get("bbox_labels", [])
         scaled = _rescale_bboxes(bboxes, scale)
-        target = random.choice(scaled) if scaled else [0, 0, image.shape[1], image.shape[0]]
+        # cv2.resize(fx=s) output size is cvRound(dim*s) (round-half-even,
+        # like python round) — needed only for the no-bbox branch
+        target = (random.choice(scaled) if scaled
+                  else [0, 0, int(round(w * scale)), int(round(h * scale))])
         wr = self._crop_size - target[2]
         hr = self._crop_size - target[3]
         crop_x = target[0] - random.randint(min(0, wr), max(0, wr))
         crop_y = target[1] - random.randint(min(0, hr), max(0, hr))
-        return _crop_and_clip(sample, image, scaled, labels, crop_x, crop_y, self._crop_size)
+        return dict(scale=scale, crop_x=crop_x, crop_y=crop_y,
+                    scaled_bboxes=scaled, labels=labels,
+                    crop_size=self._crop_size)
+
+    def __call__(self, sample):
+        p = self.draw(sample)
+        image = cv2.resize(sample["image"], (0, 0), fx=p["scale"], fy=p["scale"])
+        return _crop_and_clip(sample, image, p["scaled_bboxes"], p["labels"],
+                              p["crop_x"], p["crop_y"], self._crop_size)
 
 
 class RandomBBoxCropWithRangeSelectionRegionSampler(BaseRegionSampler):
@@ -189,9 +212,11 @@ class RandomBBoxCropWithRangeSelectionRegionSampler(BaseRegionSampler):
             return max(w, h)
         return (w * h) ** 0.5
 
-    def __call__(self, sample):
+    def draw(self, sample):
+        """Parameter draws without the image resize (same random stream as
+        __call__; see RandomBBoxCropRegionSampler.draw)."""
         assert "image" in sample
-        image = sample["image"]
+        h, w = sample["image"].shape[:2]
         bboxes = sample.get("bboxes", [])
         labels = sample.get("bbox_labels", [])
         target_idx = -1
@@ -215,14 +240,22 @@ class RandomBBoxCropWithRangeSelectionRegionSampler(BaseRegionSampler):
         else:
             lo, hi = self._neg_resize_range
             scale = random.random() * (hi - lo) + lo
-        image = cv2.resize(image, (0, 0), fx=scale, fy=scale)
         scaled = _rescale_bboxes(bboxes, scale)
-        target = scaled[target_idx] if scaled else [0, 0, image.shape[1], image.shape[0]]
+        target = (scaled[target_idx] if scaled
+                  else [0, 0, int(round(w * scale)), int(round(h * scale))])
         wr = self._crop_size - target[2]
         hr = self._crop_size - target[3]
         crop_x = target[0] - random.randint(min(0, wr), max(0, wr))
         crop_y = target[1] - random.randint(min(0, hr), max(0, hr))
-        return _crop_and_clip(sample, image, scaled, labels, crop_x, crop_y, self._crop_size)
+        return dict(scale=scale, crop_x=crop_x, crop_y=crop_y,
+                    scaled_bboxes=scaled, labels=labels,
+                    crop_size=self._crop_size)
+
+    def __call__(self, sample):
+        p = self.draw(sample)
+        image = cv2.resize(sample["image"], (0, 0), fx=p["scale"], fy=p["scale"])
+        return _crop_and_clip(sample, image, p["scaled_bboxes"], p["labels"],
+                              p["crop_x"], p["crop_y"], self._crop_size)
 
 
 class IdleRegionSampler(BaseRegionSampler):

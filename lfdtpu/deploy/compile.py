@@ -111,6 +111,7 @@ def compile_inference(
     mesh=None,
     int8_head_dtype=None,
     pack_output=False,
+    output_dtype=None,
 ):
     """Build ("compile") one inference engine.
 
@@ -181,6 +182,19 @@ def compile_inference(
         spec = dataclasses.replace(spec, approx_topk=True)
     if nms_use_pallas is not None:
         spec = dataclasses.replace(spec, nms_use_pallas=nms_use_pallas)
+
+    # output_dtype: "f16" emits boxes/scores as float16 and labels as
+    # int16 (count stays int32) — half the result-buffer payload for the
+    # serving D2H window. None/f32 = full precision (default).
+    out_dtype = None
+    if output_dtype is not None:
+        named = {"f16": jnp.float16, "float16": jnp.float16,
+                 "bf16": jnp.bfloat16, "f32": jnp.float32}
+        out_dtype = jnp.dtype(named.get(output_dtype, output_dtype)
+                              if isinstance(output_dtype, str)
+                              else output_dtype)
+        if out_dtype == jnp.dtype(jnp.float32):
+            out_dtype = None
 
     if precision == "fp32":
         run_vars = variables
@@ -399,6 +413,20 @@ def compile_inference(
         out = _decode(cls_o, reg_o, level_arrays, valid_hw)
         if pack_output:
             out = _pack_detections(out)
+        if out_dtype is not None:
+            # quantized outputs (VERDICT r4 #7): halve the result payload
+            # (the int8 attribution pins ~0.7 ms on materializing/fetching
+            # the output buffers). f16 boxes are exact to 0.5 px at 1080p
+            # (1 px at 4K); scores round within 1e-3; labels fit int16.
+            if pack_output:
+                out = out.astype(out_dtype)
+            else:
+                out = dict(
+                    boxes=out["boxes"].astype(out_dtype),
+                    scores=out["scores"].astype(out_dtype),
+                    labels=out["labels"].astype(jnp.int16),
+                    count=out["count"],
+                )
         return out
 
     if mesh is None:

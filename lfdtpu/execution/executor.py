@@ -105,15 +105,21 @@ class Executor:
             )
 
         clip_cfg = cfg.get("optimizer_grad_clip_cfg")
+        # cfg['device_preprocess']: normalize on device so the loader can
+        # ship raw uint8 batches (deploy.make_device_preprocess).
+        # cfg['device_augment']: FULL device-side augmentation (resample +
+        # flip + normalize, data.device_aug.make_device_augment) — the
+        # loader then ships raw uint8 source windows + per-image aug params
+        # from a DeviceAugRegionSampler and the step's `images` argument
+        # becomes the {buffer, scale, translation, flip} pytree.
+        self._aug_on_device = cfg.get("device_augment") is not None
         self._train_step = make_train_step(
             self.detector,
             self.optimizer,
             self.input_hw,
             mesh=self.mesh,
             clip_max_norm=float(clip_cfg["max_norm"]) if clip_cfg else 0.0,
-            # cfg['device_preprocess']: normalize on device so the loader
-            # can ship raw uint8 batches (see deploy.make_device_preprocess)
-            preprocess=cfg.get("device_preprocess"),
+            preprocess=cfg.get("device_augment") or cfg.get("device_preprocess"),
         )
         self._eval_step = None
 
@@ -162,16 +168,29 @@ class Executor:
         self.call_hooks("before_train_epoch")
         from ..parallel.mesh import prefetch_to_device
 
+        keys = ("images", "gt_bboxes", "gt_labels", "gt_mask")
+        if self._aug_on_device:
+            from ..data.device_aug import AUG_KEYS
+
+            keys = keys + AUG_KEYS
         batches = prefetch_to_device(
             cfg["train_data_loader"], self.mesh,
-            size=int(cfg.get("device_prefetch", 2)),
+            size=int(cfg.get("device_prefetch", 2)), keys=keys,
         )
         for inner, batch in enumerate(batches):
             cfg["inner_train_iter"] = inner
             self.call_hooks("before_train_iter")
+            if self._aug_on_device:
+                images = dict(
+                    buffer=batch["images"], scale=batch["aug_scale"],
+                    translation=batch["aug_translation"],
+                    flip=batch["aug_flip"],
+                )
+            else:
+                images = batch["images"]
             self.state, metrics = self._train_step(
                 self.state,
-                batch["images"], batch["gt_bboxes"],
+                images, batch["gt_bboxes"],
                 batch["gt_labels"], batch["gt_mask"],
                 np.float32(cfg["current_lr"]),
                 np.bool_(cfg.get("clip_enabled", False)),

@@ -623,3 +623,36 @@ def test_packed_output_engine_matches_default():
     np.testing.assert_allclose(d["scores"][0][:n],
                                np.asarray(d0["scores"])[0][:n], atol=1e-6)
     assert (d["labels"][0][:n] == np.asarray(d0["labels"])[0][:n]).all()
+
+
+def test_quantized_output_engine_rounds_within_tolerance():
+    """output_dtype='f16' halves the result payload (VERDICT r4 #7): boxes
+    and scores come back float16 (exact to 0.5 px below 2048), labels
+    int16, count untouched; detections must match the f32 engine within
+    f16 rounding. Also composes with pack_output (one f16 buffer)."""
+    det, variables, img = _engine_setup()
+    pre = make_device_preprocess((0.5, 0.5, 0.5), (0.5, 0.5, 0.5))
+    vhw = jnp.asarray([64.0, 64.0])
+    base = compile_inference(det, variables, (64, 64), "fp32", preprocess=pre,
+                             classification_threshold=0.01)
+    q = compile_inference(det, variables, (64, 64), "fp32", preprocess=pre,
+                          classification_threshold=0.01, output_dtype="f16")
+    d0 = base(jnp.asarray(img), vhw)
+    d = q(jnp.asarray(img), vhw)
+    assert d["boxes"].dtype == jnp.float16
+    assert d["scores"].dtype == jnp.float16
+    assert d["labels"].dtype == jnp.int16
+    n = int(np.asarray(d0["count"])[0])
+    assert int(np.asarray(d["count"])[0]) == n
+    np.testing.assert_allclose(np.asarray(d["boxes"], np.float32)[0][:n],
+                               np.asarray(d0["boxes"])[0][:n], atol=0.5)
+    np.testing.assert_allclose(np.asarray(d["scores"], np.float32)[0][:n],
+                               np.asarray(d0["scores"])[0][:n], atol=2e-3)
+    assert (np.asarray(d["labels"])[0][:n]
+            == np.asarray(d0["labels"])[0][:n]).all()
+
+    qp = compile_inference(det, variables, (64, 64), "fp32", preprocess=pre,
+                           classification_threshold=0.01, output_dtype="f16",
+                           pack_output=True)
+    packed = qp(jnp.asarray(img), vhw)
+    assert packed.dtype == jnp.float16 and packed.shape[-1] == 7

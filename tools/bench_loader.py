@@ -44,17 +44,32 @@ class MemDataset:
         return list(self._s.keys())
 
 
-def bench(loader_cls, workers, n_batches, **kw):
+def bench(loader_cls, workers, n_batches, device_aug=False, **kw):
     from lfdtpu.data import (
-        Compose, RandomBBoxCropRegionSampler, RandomDatasetSampler,
-        simple_normalize,
+        Compose, DeviceAugRegionSampler, RandomBBoxCropRegionSampler,
+        RandomDatasetSampler, simple_normalize,
     )
 
     ds = MemDataset()
+    sampler = RandomBBoxCropRegionSampler(
+        crop_size=480, resize_range=(0.8, 1.25), resize_prob=0.5)
+    if device_aug:
+        # device-aug contract: the host only windows the raw uint8 source
+        # (no cv2.resize of the image, no flip, no f32 normalize) — those
+        # run inside the jitted train step via make_device_augment. The
+        # buffer is capped at crop/0.8+margin so H2D bytes stay close to
+        # the host path's f32 crop (608^2*3 u8 = 1.1 MB vs 480^2*3 f32 =
+        # 2.8 MB per image).
+        sampler = DeviceAugRegionSampler(sampler, buffer_size=616)
+        pipeline = None
+    else:
+        pipeline = Compose([simple_normalize])
+    if device_aug:
+        kw.setdefault("image_dtype", np.uint8)
     loader = loader_cls(
         ds, RandomDatasetSampler(ds, batch_size=16, seed=0),
-        RandomBBoxCropRegionSampler(crop_size=480, resize_range=(0.8, 1.25), resize_prob=0.5),
-        augmentation_pipeline=Compose([simple_normalize]),
+        sampler,
+        augmentation_pipeline=pipeline,
         num_workers=workers, max_boxes_per_image=8, **kw,
     )
     it = iter(loader)
@@ -82,14 +97,18 @@ def main():
     results = {}
     print(f"nproc={os.cpu_count()}")
     variants = [
-        ("threaded", DataLoader),
-        ("process", functools.partial(DataLoader, use_processes=True)),
-        ("shm", ShmDataLoader),
+        ("threaded", DataLoader, False),
+        ("process", functools.partial(DataLoader, use_processes=True), False),
+        ("shm", ShmDataLoader, False),
+        # device-aug halves (data/device_aug.py): host does window-copy +
+        # box math only; resample/flip/normalize move into the train step
+        ("threaded-devaug", DataLoader, True),
+        ("shm-devaug", ShmDataLoader, True),
     ]
-    for name, cls in variants:
+    for name, cls, devaug in variants:
         for workers in (1, 2, 4):
             try:
-                r = bench(cls, workers, args.batches)
+                r = bench(cls, workers, args.batches, device_aug=devaug)
             except Exception as e:
                 r = dict(error=f"{type(e).__name__}: {e}")
             results[f"{name}-w{workers}"] = r
