@@ -234,3 +234,67 @@ def test_load_backbone_weights(tmp_path):
     a = jax.tree.leaves(loaded)[0]
     b = jax.tree.leaves(v1["params"]["backbone"])[0]
     np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.slow
+def test_executor_device_augment(tmp_path):
+    """cfg['device_augment'] switches the Executor's train loop to the
+    device-aug contract: the loader (DeviceAugRegionSampler) ships raw
+    uint8 source windows + per-image resample params, and the train step
+    resamples/flips/normalizes on device (data/device_aug.py)."""
+    from lfdtpu.data import (
+        DataLoader, DeviceAugRegionSampler, RandomBBoxCropRegionSampler,
+        RandomWithNegDatasetSampler, make_device_augment,
+    )
+    from lfdtpu.deploy import make_device_preprocess
+    from lfdtpu.execution import Executor, SGD, ConstantLRSchedule
+    from lfdtpu.models import LFD, LFDResNet, SimpleNeck, LFDHead
+    from lfdtpu.ops.loss_wrappers import FocalLoss, IoULoss
+
+    dataset = _ArrayDataset(8)
+    sampler = RandomWithNegDatasetSampler(dataset, batch_size=4,
+                                          neg_ratio=0.25, seed=0)
+    region = DeviceAugRegionSampler(
+        RandomBBoxCropRegionSampler(crop_size=64, resize_range=(0.8, 1.2)),
+        flip_p=0.5,
+    )
+    loader = DataLoader(dataset, sampler, region, augmentation_pipeline=None,
+                        num_workers=2, max_boxes_per_image=8,
+                        image_dtype=np.uint8)
+
+    bb = LFDResNet(block_mode="fastest", stem_mode="fastest", body_mode=None,
+                   stem_channels=16, body_architecture=(1,), body_channels=(16,),
+                   out_indices=((0, 0),), norm_cfg=dict(type="BatchNorm2d"))
+    neck = SimpleNeck(num_neck_channels=16,
+                      num_input_strides_list=tuple(bb.num_output_strides_list),
+                      norm_cfg=dict(type="BatchNorm2d"))
+    head = LFDHead(num_classes=1, num_heads=1, num_head_channels=16,
+                   num_conv_layers=1, norm_cfg=None,
+                   classification_loss_type="FocalLoss",
+                   regression_loss_type="IoULoss")
+    det = LFD(backbone=bb, neck=neck, head=head, num_classes=1,
+              regression_ranges=((0, 64),),
+              point_strides=tuple(bb.num_output_strides_list),
+              classification_loss_func=FocalLoss(),
+              regression_loss_func=IoULoss(),
+              distance_to_bbox_mode="sigmoid")
+
+    config = dict(
+        work_dir=str(tmp_path / "work"),
+        training_epochs=1,
+        display_interval=1,
+        save_interval=1,
+        seed=1,
+        batch_size=4,
+        input_hw=(64, 64),
+        model=det,
+        optimizer=SGD(momentum=0.9, weight_decay=1e-4),
+        lr_schedule=ConstantLRSchedule(base_lr=0.01),
+        train_data_loader=loader,
+        device_augment=make_device_augment(
+            64, normalize=make_device_preprocess((0.5,) * 3, (0.5,) * 3)
+        ),
+    )
+    ex = Executor(config)
+    ex.run()
+    assert any(c.startswith("epoch_") for c in os.listdir(config["work_dir"]))

@@ -34,8 +34,12 @@ def main():
     divisor = max(det.point_strides)
     ph = (h + divisor - 1) // divisor * divisor
     pw = (w + divisor - 1) // divisor * divisor
+    # engine-variant kwargs (approx_topk / int8_head_dtype / ...) via env,
+    # same contract as bench_cell.py
+    extra = json.loads(os.environ.get("LFD_BENCH_ENGINE_KWARGS", "{}"))
     engine = compile_inference(
-        det, variables, (ph, pw), precision=precision, preprocess=preprocess
+        det, variables, (ph, pw), precision=precision, preprocess=preprocess,
+        **extra,
     )
     images = np.random.randint(0, 255, (1, ph, pw, 3), dtype=np.uint8)
     t_build = time.time()
@@ -44,6 +48,8 @@ def main():
         model=model_name, precision=precision, height=h, width=w,
         build_s=round(t_build - t0, 1), timing_s=round(time.time() - t_build, 1),
     )
+    if extra:
+        r["engine_kwargs"] = extra
     print("DEVICE_RESULT " + json.dumps(r))
 
 

@@ -66,51 +66,97 @@ def bench(loader_cls, workers, n_batches, device_aug=False, **kw):
         pipeline = Compose([simple_normalize])
     if device_aug:
         kw.setdefault("image_dtype", np.uint8)
+    if loader_cls is not None and getattr(loader_cls, "__name__", "") == "ShmDataLoader" \
+            and not device_aug:
+        kw.setdefault("crop_size", 480)
     loader = loader_cls(
         ds, RandomDatasetSampler(ds, batch_size=16, seed=0),
         sampler,
         augmentation_pipeline=pipeline,
         num_workers=workers, max_boxes_per_image=8, **kw,
     )
-    it = iter(loader)
-    next(it)  # warmup (workers spin up)
-    t0 = time.perf_counter()
-    done = 1
-    for batch in it:
-        done += 1
-        if done >= n_batches:
-            break
-    dt = time.perf_counter() - t0
+    def consume(batch):
+        # a consumer that never recycles slots starves ShmDataLoader's
+        # fixed slot pool (the real consumer is prefetch_to_device, which
+        # releases after device_put)
+        if "_loader" in batch:
+            batch["_loader"].release_slot(batch)
+
+    try:
+        it = iter(loader)
+        consume(next(it))  # warmup (workers spin up)
+        t0 = time.perf_counter()
+        done = 1
+        for batch in it:
+            consume(batch)
+            done += 1
+            if done >= n_batches:
+                break
+        dt = time.perf_counter() - t0
+    finally:
+        close = getattr(loader, "close", None)
+        if close:
+            close()
     bps = (done - 1) / dt
     return dict(batches_per_s=bps, images_per_s=bps * 16)
+
+
+VARIANTS = ("threaded", "process", "shm",
+            # device-aug halves (data/device_aug.py): host does window-copy
+            # + box math only; resample/flip/normalize move into the train
+            # step (make_device_augment)
+            "threaded-devaug", "shm-devaug")
+
+
+def run_one(name, workers, n_batches):
+    import functools
+
+    from lfdtpu.data.loader import DataLoader, ShmDataLoader
+
+    cls = {
+        "threaded": DataLoader,
+        "process": functools.partial(DataLoader, use_processes=True),
+        "shm": ShmDataLoader,
+        "threaded-devaug": DataLoader,
+        "shm-devaug": ShmDataLoader,
+    }[name]
+    return bench(cls, workers, n_batches, device_aug=name.endswith("devaug"))
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batches", type=int, default=12)
+    ap.add_argument("--one", nargs=2, metavar=("VARIANT", "WORKERS"),
+                    help="run a single (variant, workers) cell in-process")
     args = ap.parse_args()
 
-    import functools
-
-    from lfdtpu.data.loader import DataLoader, ShmDataLoader
+    if args.one:
+        name, workers = args.one[0], int(args.one[1])
+        r = run_one(name, workers, args.batches)
+        print("ONE_RESULT " + json.dumps(r))
+        return
 
     results = {}
     print(f"nproc={os.cpu_count()}")
-    variants = [
-        ("threaded", DataLoader, False),
-        ("process", functools.partial(DataLoader, use_processes=True), False),
-        ("shm", ShmDataLoader, False),
-        # device-aug halves (data/device_aug.py): host does window-copy +
-        # box math only; resample/flip/normalize move into the train step
-        ("threaded-devaug", DataLoader, True),
-        ("shm-devaug", ShmDataLoader, True),
-    ]
-    for name, cls, devaug in variants:
+    # each cell in a FRESH subprocess: fork-based loaders deadlock when a
+    # previous variant's worker threads are still alive in this process
+    # (inherited queue locks), and a clean process also removes cross-
+    # variant allocator/thread interference from the measurement
+    import subprocess
+    for name in VARIANTS:
         for workers in (1, 2, 4):
-            try:
-                r = bench(cls, workers, args.batches, device_aug=devaug)
-            except Exception as e:
-                r = dict(error=f"{type(e).__name__}: {e}")
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--batches", str(args.batches), "--one", name, str(workers)],
+                capture_output=True, text=True, timeout=600,
+            )
+            r = None
+            for line in out.stdout.splitlines():
+                if line.startswith("ONE_RESULT "):
+                    r = json.loads(line[len("ONE_RESULT "):])
+            if r is None:
+                tail = (out.stderr or out.stdout).strip().splitlines()
+                r = dict(error=tail[-1][:120] if tail else "no output")
             results[f"{name}-w{workers}"] = r
             msg = (f"{r['images_per_s']:.1f} img/s"
                    if "images_per_s" in r else r["error"][:80])

@@ -9,11 +9,18 @@ loss scalar is a true completion barrier on the enqueue-async backend;
 the per-step time is the two-depth slope (t_2K - t_K)/K, which cancels
 the fixed fetch cost (deploy/latency.py methodology).
 
-Usage: python tools/bench_train_step.py WIDERFACE-S 64 480 [K] [fp32|bf16]
+Usage: python tools/bench_train_step.py WIDERFACE-S 64 480 [K] [fp32|bf16] [devaug]
 
 The optional 5th arg selects the step's compute precision: bf16 builds
 the mixed-precision step (bf16 forward/backward, f32 master weights /
 loss / optimizer — `parallel/data_parallel.make_train_step`).
+
+The optional 6th arg `devaug` measures the step WITH device-side
+augmentation fused in (data/device_aug.make_device_augment): the input
+becomes the devaug contract's {uint8 source buffer, scale, translation,
+flip} pytree and the step resamples + flips + normalizes on-chip before
+the forward — the marginal cost over the plain step is the device price
+of moving augmentation off the (measured 4-11x slower) host loader.
 """
 import json
 import os
@@ -31,6 +38,7 @@ def main():
     K = int(sys.argv[4]) if len(sys.argv) > 4 else 20
     precision = sys.argv[5] if len(sys.argv) > 5 else "fp32"
     assert precision in ("fp32", "bf16"), precision
+    devaug = len(sys.argv) > 6 and sys.argv[6] == "devaug"
 
     import jax
     import numpy as np
@@ -45,12 +53,34 @@ def main():
     optimizer = SGD(momentum=0.9, weight_decay=1e-4)
     state = create_train_state(det, optimizer, jax.random.PRNGKey(0), hw,
                                batch_size=batch)
+    preprocess = None
+    if devaug:
+        from lfdtpu.data import make_device_augment
+        from lfdtpu.deploy import make_device_preprocess
+
+        preprocess = make_device_augment(
+            crop,
+            normalize=make_device_preprocess((0.5,) * 3, (0.5,) * 3),
+        )
     step = make_train_step(det, optimizer, hw, clip_max_norm=10.0,
-                           mixed_precision=(precision == "bf16"))
+                           mixed_precision=(precision == "bf16"),
+                           preprocess=preprocess)
 
     # reference-shaped batch: crop-sized frames, padded GT (Nmax=64)
     rng = np.random.RandomState(0)
-    images = jax.device_put(rng.rand(batch, crop, crop, 3).astype(np.float32))
+    if devaug:
+        # the loader contract: raw uint8 source windows (buffer =
+        # crop/0.8 + margin, matching tools/bench_loader.py's devaug
+        # configuration) + per-image resample params
+        buf = int(crop / 0.8) + 16
+        images = jax.device_put(dict(
+            buffer=rng.randint(0, 255, (batch, buf, buf, 3)).astype(np.uint8),
+            scale=np.full((batch, 2), 1.1, np.float32),
+            translation=np.full((batch, 2), -3.0, np.float32),
+            flip=(rng.rand(batch) > 0.5).astype(np.float32),
+        ))
+    else:
+        images = jax.device_put(rng.rand(batch, crop, crop, 3).astype(np.float32))
     nmax = 64
     gt = np.zeros((batch, nmax, 4), np.float32)
     gt[:, :8] = rng.rand(batch, 8, 4).astype(np.float32) * 60
@@ -85,7 +115,7 @@ def main():
         ms_per_step=round(ms, 3),
         images_per_s=round(batch / (ms / 1000.0), 1),
         model=model_name, batch=batch, crop=crop, loops=3 * K,
-        precision=precision, loss=round(loss, 4),
+        precision=precision, devaug=devaug, loss=round(loss, 4),
         build_s=round(t_build - t0, 1),
         timing_s=round(time.time() - t_build, 1),
     )

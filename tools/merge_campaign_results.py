@@ -1,7 +1,7 @@
 #!/usr/bin/env python
 """Fold campaign jsonl cells into bench_sweep_results.json and print a
 digest for BENCH.md. Accepts multiple jsonl paths (later files win per
-cell id); default = campaign_r3.jsonl + campaign_r4.jsonl.
+cell id); default = campaign_r3.jsonl + campaign_r4.jsonl + campaign_r5.jsonl.
 
 - Base cells (no engine_kwargs, batch 1) replace the matching
   (model, precision, height, width) row of bench_sweep_results.json —
@@ -46,7 +46,8 @@ def main():
     paths = [a for a in sys.argv[1:] if not a.startswith("--")]
     if not paths:
         paths = [os.path.join(REPO, "campaign_r3.jsonl"),
-                 os.path.join(REPO, "campaign_r4.jsonl")]
+                 os.path.join(REPO, "campaign_r4.jsonl"),
+                 os.path.join(REPO, "campaign_r5.jsonl")]
     campaign = load_jsonl(paths)
     sweep_path = os.path.join(REPO, "bench_sweep_results.json")
     with open(sweep_path) as f:
@@ -111,8 +112,12 @@ def main():
                   for i, r in enumerate(sweep)}
         print(f"dropped {len(stale)} stale (unfused-engine) int8 rows")
     # attach device-only times to their wall-slope rows so the rendered
-    # tables carry the dispatch-floor evidence inline (VERDICT r3 #1)
+    # tables carry the dispatch-floor evidence inline (VERDICT r3 #1).
+    # Variant device cells (engine_kwargs) measure a DIFFERENT program —
+    # they stay in the digest but never attach to the base sweep row.
     for r in device:
+        if r.get("engine_kwargs"):
+            continue
         i = by_key.get(key(r))
         if i is not None:
             sweep[i]["ms_device"] = r["ms_device"]
@@ -148,7 +153,8 @@ def main():
     if trains:
         print("\n== training throughput (device step, reference config) ==")
         for r in sorted(trains, key=lambda r: r["id"]):
-            print(f"  {r['model']} {r.get('precision', 'fp32')}"
+            aug = " +devaug" if r.get("devaug") else ""
+            print(f"  {r['model']} {r.get('precision', 'fp32')}{aug}"
                   f" batch={r['batch']} crop={r['crop']}:"
                   f" {r['ms_per_step']:.2f} ms/step"
                   f" ({r['images_per_s']:.0f} img/s)")
@@ -156,10 +162,14 @@ def main():
         print("\n== int8 attribution (prefix-program stages; deltas"
               " attribute the engine) ==")
         prev = None
+        prev_group = None
         order = {"input": 0, "stem": 1, "backbone": 2, "neck": 3,
                  "net": 4, "full": 5}
         for r in sorted(attribs, key=lambda r: (r["model"], r["height"],
                                                 order.get(r["stage"], 9))):
+            group = (r["model"], r["height"])
+            if group != prev_group:
+                prev, prev_group = None, group
             d = "" if prev is None else f"  (+{r['ms_per_image'] - prev:.2f})"
             print(f"  {r['model']} {r['width']}x{r['height']}"
                   f" {r['stage']}: {r['ms_per_image']:.2f} ms{d}")

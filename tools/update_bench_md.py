@@ -44,6 +44,7 @@ def _campaign_rows():
     return [r for r in load_jsonl([
         os.path.join(REPO, "campaign_r3.jsonl"),
         os.path.join(REPO, "campaign_r4.jsonl"),
+        os.path.join(REPO, "campaign_r5.jsonl"),
     ]) if "error" not in r]
 
 
@@ -206,6 +207,22 @@ def render_best_mode(campaign, sweep):
         k = (r["model"], r["height"], r["width"])
         cells.setdefault(k, []).append(
             (r["ms_per_image"], f"{r['precision']} batch-{r['batch']}", r))
+    # batch-1 engine-variant cells (qout / bf16-head / s2d / ...) are real
+    # shipping modes — they compete for "ours best" too (device-only and
+    # attribution prefix cells don't: those aren't complete engines)
+    vdedup = {}
+    for r in campaign:
+        if ("ms_per_image" in r and r.get("batch", 1) == 1
+                and r.get("engine_kwargs") and "stream_mode" not in r
+                and "stage" not in r):
+            vdedup[(r["model"], r["precision"], r["height"], r["width"],
+                    json.dumps(r["engine_kwargs"], sort_keys=True))] = r
+    for r in vdedup.values():
+        k = (r["model"], r["height"], r["width"])
+        kw = "+".join(k_ if v is True else f"{k_}={v}"
+                      for k_, v in sorted(r["engine_kwargs"].items()) if v)
+        cells.setdefault(k, []).append(
+            (r["ms_per_image"], f"{r['precision']} {kw}", r))
 
     refs = {}  # (model, h, w) -> (ms, precision)
     for (m, p, h, w), v in REF_MS.items():

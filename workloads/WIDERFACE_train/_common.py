@@ -98,6 +98,33 @@ def prepare_data_pipeline(config_dict):
     train_region_sampler = RandomBBoxCropRegionSampler(
         crop_size=480, resize_range=(0.5, 1.5), resize_prob=0.5
     )
+    # LFD_DEVICE_AUG=1: move resample/flip/normalize into the jitted train
+    # step (data/device_aug.py) — the host then only windows raw uint8
+    # crops, measured 7.7-9.4x faster feeding on a 1-core host (BENCH.md
+    # training section). Box math and the random streams are identical to
+    # the host path (same draw()/_clip_boxes code).
+    if _env_int("LFD_DEVICE_AUG", 0):
+        import numpy as _np
+
+        from lfdtpu.data import DeviceAugRegionSampler, make_device_augment
+        from lfdtpu.deploy import make_device_preprocess
+
+        config_dict["device_augment"] = make_device_augment(
+            480,
+            normalize=make_device_preprocess((0.5,) * 3, (0.5,) * 3),
+        )
+        config_dict["train_data_loader"] = DataLoader(
+            dataset=train_dataset,
+            dataset_sampler=train_dataset_sampler,
+            region_sampler=DeviceAugRegionSampler(
+                train_region_sampler, flip_p=0.5
+            ),
+            augmentation_pipeline=None,
+            num_workers=config_dict["num_train_workers"],
+            max_boxes_per_image=200,
+            image_dtype=_np.uint8,
+        )
+        return
     config_dict["train_data_loader"] = DataLoader(
         dataset=train_dataset,
         dataset_sampler=train_dataset_sampler,
