@@ -39,6 +39,35 @@ def build_cell(model_name):
     return det, variables, preprocess
 
 
+def get_amax(model_name, h, w):
+    """Calibration amax for (model, h, w), via calibrate_cell.py in a
+    separate process (foreign-output D2H would degrade the caller — see
+    module docstring). The result is DETERMINISTIC (fixed-seed frames),
+    so it is cached on disk: campaign attribution runs six prefix cells
+    per (model, resolution) and each would otherwise re-pay the ~5 min
+    calibration process."""
+    cache = f"/tmp/amax_cache_{model_name}_{h}x{w}.json"
+    if os.path.exists(cache):
+        try:
+            with open(cache) as f:
+                return json.load(f)
+        except ValueError:
+            pass
+    out = subprocess.run(
+        [sys.executable, os.path.join(os.path.dirname(__file__),
+                                      "calibrate_cell.py"),
+         model_name, str(h), str(w)],
+        capture_output=True, text=True, check=True,
+    )
+    line = [l for l in out.stdout.splitlines() if l.startswith("AMAX ")][-1]
+    amax = json.loads(line[len("AMAX "):])
+    tmp = cache + f".{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(amax, f)
+    os.replace(tmp, cache)
+    return amax
+
+
 def main():
     import time
 
@@ -56,14 +85,7 @@ def main():
         # calibrate in a SEPARATE process: fetching a calibration program's
         # output in this process would permanently degrade its per-call
         # latency (~35 ms/call) and poison the timed engine
-        out = subprocess.run(
-            [sys.executable, os.path.join(os.path.dirname(__file__),
-                                          "calibrate_cell.py"),
-             model_name, str(h), str(w)],
-            capture_output=True, text=True, check=True,
-        )
-        line = [l for l in out.stdout.splitlines() if l.startswith("AMAX ")][-1]
-        act_scales = json.loads(line[len("AMAX "):])
+        act_scales = get_amax(model_name, h, w)
 
     det, variables, preprocess = build_cell(model_name)
     divisor = max(det.point_strides)

@@ -54,15 +54,11 @@ def main():
     from lfdtpu.deploy.int8_net import int8_fused_apply
 
     # calibration amax in a separate process (foreign-output D2H would
-    # degrade this process's timed calls — bench_cell.py docstring)
-    out = subprocess.run(
-        [sys.executable, os.path.join(os.path.dirname(__file__),
-                                      "calibrate_cell.py"),
-         model_name, str(h), str(w)],
-        capture_output=True, text=True, check=True,
-    )
-    line = [l for l in out.stdout.splitlines() if l.startswith("AMAX ")][-1]
-    amax = json.loads(line[len("AMAX "):])
+    # degrade this process's timed calls), disk-cached per (model, h, w)
+    # so the six prefix cells of one attribution don't re-pay it
+    from bench_cell import get_amax
+
+    amax = get_amax(model_name, h, w)
 
     det, variables, preprocess = build_cell(model_name)
     divisor = max(det.point_strides)

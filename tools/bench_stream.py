@@ -42,15 +42,11 @@ def main():
     act_scales = None
     if precision == "int8":
         # calibration in its own process (bench_cell.py docstring: foreign
-        # fetches would degrade this process before the timed loop)
-        out = subprocess.run(
-            [sys.executable, os.path.join(os.path.dirname(__file__),
-                                          "calibrate_cell.py"),
-             model_name, str(h), str(w)],
-            capture_output=True, text=True, check=True,
-        )
-        line = [l for l in out.stdout.splitlines() if l.startswith("AMAX ")][-1]
-        act_scales = json.loads(line[len("AMAX "):])
+        # fetches would degrade this process before the timed loop),
+        # disk-cached per (model, h, w)
+        from bench_cell import get_amax
+
+        act_scales = get_amax(model_name, h, w)
 
     # e.g. LFD_BENCH_ENGINE_KWARGS='{"pack_output": true}' — the packed
     # single-buffer output was latency-NEUTRAL for slope numbers but cuts
