@@ -180,11 +180,15 @@ def decode_predictions(
     sel_points = points[top_idx]
     sel_ranges = ranges[top_idx]
 
-    # stage 2: (point, class) pairs above threshold, top nms_budget
+    # stage 2: (point, class) pairs above threshold, top nms_budget.
+    # For multi-class heads this is the largest selection in the decode
+    # (Kp*C = 45k elements for TT100K's 45 classes) — it routes through
+    # the same approx_topk knob as stage 1 (approx_max_k's partial
+    # per-lane reduction beats the exact sort-based top_k on TPU).
     flat_scores = sel_probs.reshape(-1)  # (Kp * C,)
     flat_valid = flat_scores > spec.score_thr
     kb = min(spec.nms_budget, kp * C)
-    cand_scores, cand_flat = jax.lax.top_k(
+    cand_scores, cand_flat = _topk(
         jnp.where(flat_valid, flat_scores, -1.0), kb
     )
     cand_point = cand_flat // C
