@@ -188,7 +188,8 @@ class DeviceAugRegionSampler:
         return sample
 
 
-def make_device_augment(crop_size, normalize=None, out_dtype=None):
+def make_device_augment(crop_size, normalize=None, out_dtype=None,
+                        compute_dtype=None):
     """Device half: a jittable preprocess for make_train_step.
 
     Takes the loader batch's images as a DICT pytree:
@@ -199,14 +200,24 @@ def make_device_augment(crop_size, normalize=None, out_dtype=None):
     all fused into the train step's program.
 
     normalize: a deploy.make_device_preprocess-style fn (or None).
+    compute_dtype: resample arithmetic dtype. Default f32 (exact parity
+    with the host path's cv2 bilinear within fixed-point noise). bf16
+    halves the resample's HBM traffic inside a mixed-precision train
+    step — worst case ~1 uint8 LSB of extra rounding on the augmented
+    pixels, irrelevant for training augmentation.
     """
     import jax
     import jax.numpy as jnp
 
     crop = int(crop_size)
+    cdt = jnp.dtype(compute_dtype) if compute_dtype is not None else jnp.float32
 
     def _one(buf, scale, trans):
-        img = buf.astype(jnp.float32)
+        # pixels in compute_dtype; scale/translation STAY f32 — the
+        # sampling grid is coordinate-sensitive (bf16 coordinates cost
+        # whole pixels of phase error at 480 px; bf16 pixel data costs
+        # ~1 uint8 LSB)
+        img = buf.astype(cdt)
         return jax.image.scale_and_translate(
             img, (crop, crop, 3), (0, 1), scale, trans,
             method="linear", antialias=False,

@@ -271,3 +271,28 @@ def test_shm_loader_aug_slots():
         loader.release_slot(batch)
     finally:
         loader.close()
+
+
+def test_bf16_compute_dtype_close_to_f32():
+    """compute_dtype='bfloat16' (the HBM-halving mixed-precision option)
+    must stay within ~1 uint8 LSB of the f32 resample on smooth content."""
+    img = _scene()
+    s = DeviceAugRegionSampler(
+        RandomBBoxCropRegionSampler(crop_size=96, resize_range=(0.7, 1.3)),
+        flip_p=0.0,
+    )
+    random.seed(2)
+    out = s(_sample(img, [[30, 40, 60, 50]], [0]))
+    batch = {
+        "buffer": jnp.asarray(out["image"])[None],
+        "scale": jnp.asarray(out["aug_scale"])[None],
+        "translation": jnp.asarray(out["aug_translation"])[None],
+        "flip": jnp.asarray(out["aug_flip"])[None],
+    }
+    a32 = np.asarray(jax.jit(make_device_augment(96))(batch))[0]
+    a16 = np.asarray(
+        jax.jit(make_device_augment(96, compute_dtype="bfloat16"))(batch)
+    )[0].astype(np.float32)
+    diff = np.abs(a32 - a16)
+    assert np.median(diff) <= 1.0, np.median(diff)
+    assert diff.max() <= 3.0, diff.max()

@@ -38,7 +38,11 @@ def main():
     K = int(sys.argv[4]) if len(sys.argv) > 4 else 20
     precision = sys.argv[5] if len(sys.argv) > 5 else "fp32"
     assert precision in ("fp32", "bf16"), precision
-    devaug = len(sys.argv) > 6 and sys.argv[6] == "devaug"
+    devaug = len(sys.argv) > 6 and sys.argv[6].startswith("devaug")
+    # "devaug-bf16": run the resample arithmetic in bf16 (halves the aug's
+    # HBM traffic inside a mixed-precision step; ~1 uint8 LSB rounding)
+    devaug_dtype = "bfloat16" if (len(sys.argv) > 6
+                                  and sys.argv[6] == "devaug-bf16") else None
 
     import jax
     import numpy as np
@@ -61,6 +65,7 @@ def main():
         preprocess = make_device_augment(
             crop,
             normalize=make_device_preprocess((0.5,) * 3, (0.5,) * 3),
+            compute_dtype=devaug_dtype,
         )
     step = make_train_step(det, optimizer, hw, clip_max_norm=10.0,
                            mixed_precision=(precision == "bf16"),
@@ -115,7 +120,9 @@ def main():
         ms_per_step=round(ms, 3),
         images_per_s=round(batch / (ms / 1000.0), 1),
         model=model_name, batch=batch, crop=crop, loops=3 * K,
-        precision=precision, devaug=devaug, loss=round(loss, 4),
+        precision=precision, devaug=devaug,
+        devaug_dtype=devaug_dtype or ("f32" if devaug else None),
+        loss=round(loss, 4),
         build_s=round(t_build - t0, 1),
         timing_s=round(time.time() - t_build, 1),
     )
