@@ -112,6 +112,8 @@ def compile_inference(
     int8_head_dtype=None,
     pack_output=False,
     output_dtype=None,
+    pre_nms_points=None,
+    nms_budget=None,
 ):
     """Build ("compile") one inference engine.
 
@@ -182,6 +184,15 @@ def compile_inference(
         spec = dataclasses.replace(spec, approx_topk=True)
     if nms_use_pallas is not None:
         spec = dataclasses.replace(spec, nms_use_pallas=nms_use_pallas)
+    # decode-budget overrides (serving knob): the detector defaults both
+    # to its pre_nms_bbox_limit (reference semantics, 1000). Smaller
+    # budgets shrink the decode's top-k / gather / NMS stages — useful at
+    # small resolutions or many-class heads where the candidate stages
+    # are a visible fraction of the engine (BENCH.md attribution).
+    if pre_nms_points is not None:
+        spec = dataclasses.replace(spec, pre_nms_points=int(pre_nms_points))
+    if nms_budget is not None:
+        spec = dataclasses.replace(spec, nms_budget=int(nms_budget))
 
     # output_dtype: "f16" emits boxes/scores as float16 and labels as
     # int16 (count stays int32) — half the result-buffer payload for the

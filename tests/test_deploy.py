@@ -656,3 +656,25 @@ def test_quantized_output_engine_rounds_within_tolerance():
                            pack_output=True)
     packed = qp(jnp.asarray(img), vhw)
     assert packed.dtype == jnp.float16 and packed.shape[-1] == 7
+
+
+def test_decode_budget_override_engine_matches_default():
+    """pre_nms_points/nms_budget engine overrides shrink the decode's
+    selection stages; with budgets still covering every real candidate the
+    detections must match the default engine exactly."""
+    det, variables, img = _engine_setup()
+    pre = make_device_preprocess((0.5, 0.5, 0.5), (0.5, 0.5, 0.5))
+    vhw = jnp.asarray([64.0, 64.0])
+    base = compile_inference(det, variables, (64, 64), "fp32", preprocess=pre,
+                             classification_threshold=0.01)
+    small = compile_inference(det, variables, (64, 64), "fp32",
+                              preprocess=pre, classification_threshold=0.01,
+                              pre_nms_points=64, nms_budget=64)
+    d0 = base(jnp.asarray(img), vhw)
+    d = small(jnp.asarray(img), vhw)
+    n = int(np.asarray(d0["count"])[0])
+    assert int(np.asarray(d["count"])[0]) == n
+    np.testing.assert_allclose(np.asarray(d["boxes"])[0][:n],
+                               np.asarray(d0["boxes"])[0][:n], atol=1e-5)
+    np.testing.assert_allclose(np.asarray(d["scores"])[0][:n],
+                               np.asarray(d0["scores"])[0][:n], atol=1e-6)
