@@ -122,7 +122,21 @@ def cells():
     dev("dev-bf16-approx-TTS-1080", "TT100K-S", "bf16", 1080, 1920,
         kwargs={"approx_topk": True})
 
-    # --- 4: int8 attribution at the losing resolutions (VERDICT #3) ---
+    # --- 4: stream-block pathology (VERDICT #5): depth sweep (runs BEFORE
+    # the attributions: short cells, and the serving guidance blocks on
+    # them if the round is cut short) ---
+    for depth in (4, 16, 64):
+        stream(f"stream-block-d{depth}-S-bf16-480", "WIDERFACE-S", "bf16",
+               480, 640, images=200, depth=depth, mode="stream")
+    stream("stream-block-pack-d64-S-bf16-480", "WIDERFACE-S", "bf16",
+           480, 640, images=200, depth=64, mode="stream",
+           kwargs={"pack_output": True})
+    # quantized-output serving at the headline serving cell
+    stream("stream-async-qout-L-int8-1080", "WIDERFACE-L", "int8",
+           1080, 1920, images=300, depth=8, mode="stream-async",
+           kwargs={"output_dtype": "f16", "pack_output": True})
+
+    # --- 5: int8 attribution at the losing resolutions (VERDICT #3) ---
     for h, w, tag, model in ((480, 640, "L-480", "WIDERFACE-L"),
                              (720, 1280, "M-720", "WIDERFACE-M"),
                              (2160, 3840, "L-2160", "WIDERFACE-L")):
@@ -147,18 +161,6 @@ def cells():
          timeout=3600)
     wall("int8-bf16head-M-2160", "WIDERFACE-M", "int8", 2160, 3840,
          loops=120, kwargs={"int8_head_dtype": "bf16"}, timeout=3600)
-
-    # --- 5: stream-block pathology (VERDICT #5): depth sweep ---
-    for depth in (4, 16, 64):
-        stream(f"stream-block-d{depth}-S-bf16-480", "WIDERFACE-S", "bf16",
-               480, 640, images=200, depth=depth, mode="stream")
-    stream("stream-block-pack-d64-S-bf16-480", "WIDERFACE-S", "bf16",
-           480, 640, images=200, depth=64, mode="stream",
-           kwargs={"pack_output": True})
-    # quantized-output serving at the headline serving cell
-    stream("stream-async-qout-L-int8-1080", "WIDERFACE-L", "int8",
-           1080, 1920, images=300, depth=8, mode="stream-async",
-           kwargs={"output_dtype": "f16", "pack_output": True})
 
     return out
 
