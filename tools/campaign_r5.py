@@ -94,15 +94,52 @@ def cells():
             env=env, timeout=timeout,
         ))
 
-    # --- 1: quantized outputs (VERDICT #7) at the headline cell ---
+    # Wall-clock-aware ordering (this host compiles ~5-9 min/cell with no
+    # persistent executable cache): the cells that close VERDICT items
+    # run first; diagnostics and 4K tails run only if time remains.
+
+    # --- 1: stream-block pathology (VERDICT #5): depth sweep. Short
+    # timed sections; the serving guidance blocks on these. ---
+    for depth in (4, 16, 64):
+        stream(f"stream-block-d{depth}-S-bf16-480", "WIDERFACE-S", "bf16",
+               480, 640, images=200, depth=depth, mode="stream")
+    stream("stream-block-pack-d64-S-bf16-480", "WIDERFACE-S", "bf16",
+           480, 640, images=200, depth=64, mode="stream",
+           kwargs={"pack_output": True})
+
+    # --- 2: loader feed-rate evidence for the published devaug table
+    # (host-only, ~1 min; the r5 jsonl that first measured it was lost
+    # before commit) ---
+    out.append(dict(
+        id="loader-bench-devaug-r5", tool="bench_loader.py",
+        marker="LOADER_RESULT ", args=["--batches", "12"], env={},
+        timeout=1800,
+    ))
+
+    # --- 3: quantized outputs (VERDICT #7) at the headline cell ---
     wall("qout-L-int8-1080", "WIDERFACE-L", "int8", 1080, 1920,
          kwargs={"output_dtype": "f16"})
     wall("qout-pack-L-int8-1080", "WIDERFACE-L", "int8", 1080, 1920,
          kwargs={"output_dtype": "f16", "pack_output": True})
-    wall("qout-L-bf16-1080", "WIDERFACE-L", "bf16", 1080, 1920,
-         kwargs={"output_dtype": "f16"})
+    # quantized-output serving at the headline serving cell
+    stream("stream-async-qout-L-int8-1080", "WIDERFACE-L", "int8",
+           1080, 1920, images=300, depth=8, mode="stream-async",
+           kwargs={"output_dtype": "f16", "pack_output": True})
 
-    # --- 2: device-aug train step (VERDICT #2: the device half's price) ---
+    # --- 4: TT100K-S 1080p (VERDICT #4): device baseline + knobs ---
+    dev("dev-int8-TTS-1080", "TT100K-S", "int8", 1080, 1920)
+    dev("dev-int8-approx-TTS-1080", "TT100K-S", "int8", 1080, 1920,
+        kwargs={"approx_topk": True})
+    out.append(dict(
+        id="dev-int8-budget512-TTS-1080", tool="bench_device_cell.py",
+        marker="DEVICE_RESULT ", args=["TT100K-S", "int8", "1080", "1920"],
+        env={"LFD_BENCH_ENGINE_KWARGS":
+             json.dumps({"pre_nms_points": 512, "nms_budget": 512})},
+        timeout=1800,
+    ))
+
+    # --- 5: device-aug train step (VERDICT #2: the device half's price;
+    # evidence rows for the published BENCH table) ---
     for model, tag, prec in [("WIDERFACE-S", "S", "bf16"),
                              ("WIDERFACE-S", "S", "fp32"),
                              ("WIDERFACE-L", "L", "bf16")]:
@@ -113,47 +150,56 @@ def cells():
             timeout=2400,
         ))
 
-    # --- 3: TT100K-S 1080p (VERDICT #4) ---
-    dev("dev-int8-TTS-1080", "TT100K-S", "int8", 1080, 1920)
-    dev("dev-int8-approx-TTS-1080", "TT100K-S", "int8", 1080, 1920,
-        kwargs={"approx_topk": True})
-    wall("int8-approx-TTS-1080", "TT100K-S", "int8", 1080, 1920,
-         kwargs={"approx_topk": True})
-    dev("dev-bf16-approx-TTS-1080", "TT100K-S", "bf16", 1080, 1920,
-        kwargs={"approx_topk": True})
-
-    # --- 4: stream-block pathology (VERDICT #5): depth sweep (runs BEFORE
-    # the attributions: short cells, and the serving guidance blocks on
-    # them if the round is cut short) ---
-    for depth in (4, 16, 64):
-        stream(f"stream-block-d{depth}-S-bf16-480", "WIDERFACE-S", "bf16",
-               480, 640, images=200, depth=depth, mode="stream")
-    stream("stream-block-pack-d64-S-bf16-480", "WIDERFACE-S", "bf16",
-           480, 640, images=200, depth=64, mode="stream",
-           kwargs={"pack_output": True})
-    # quantized-output serving at the headline serving cell
-    stream("stream-async-qout-L-int8-1080", "WIDERFACE-L", "int8",
-           1080, 1920, images=300, depth=8, mode="stream-async",
-           kwargs={"output_dtype": "f16", "pack_output": True})
-
-    # --- 5: int8 attribution at the losing resolutions (VERDICT #3) ---
-    for h, w, tag, model in ((480, 640, "L-480", "WIDERFACE-L"),
-                             (720, 1280, "M-720", "WIDERFACE-M"),
-                             (2160, 3840, "L-2160", "WIDERFACE-L")):
-        for stage in ("input", "stem", "backbone", "neck", "net", "full"):
-            out.append(dict(
-                id=f"attrib-int8-{tag}-{stage}", tool="bench_int8_attrib.py",
-                marker="ATTRIB_RESULT ",
-                args=[model, str(h), str(w), stage], env={},
-                timeout=3600 if h > 1080 else 2400,
-            ))
-    # knobs at the losing cells
+    # --- 6: int8 knobs at the losing cells (VERDICT #3 flip attempts) ---
     wall("int8-bf16head-L-480", "WIDERFACE-L", "int8", 480, 640,
          kwargs={"int8_head_dtype": "bf16"})
     wall("int8-bf16head-M-720", "WIDERFACE-M", "int8", 720, 1280,
          kwargs={"int8_head_dtype": "bf16"})
     dev("dev-int8-bf16head-M-720", "WIDERFACE-M", "int8", 720, 1280,
         kwargs={"int8_head_dtype": "bf16"})
+
+    # --- 7: second-line cells: more TT100K knobs + qout-bf16 ---
+    out.append(dict(
+        id="dev-int8-budget256-TTS-1080", tool="bench_device_cell.py",
+        marker="DEVICE_RESULT ", args=["TT100K-S", "int8", "1080", "1920"],
+        env={"LFD_BENCH_ENGINE_KWARGS":
+             json.dumps({"pre_nms_points": 256, "nms_budget": 256})},
+        timeout=1800,
+    ))
+    wall("int8-approx-TTS-1080", "TT100K-S", "int8", 1080, 1920,
+         kwargs={"approx_topk": True})
+    wall("qout-L-bf16-1080", "WIDERFACE-L", "bf16", 1080, 1920,
+         kwargs={"output_dtype": "f16"})
+    dev("dev-bf16-approx-TTS-1080", "TT100K-S", "bf16", 1080, 1920,
+        kwargs={"approx_topk": True})
+
+    # --- 8: int8 attribution at the losing resolutions (VERDICT #3
+    # diagnostics) + TT100K-S in-decode attribution (VERDICT #4 floor) ---
+    for h, w, tag, model in ((480, 640, "L-480", "WIDERFACE-L"),
+                             (720, 1280, "M-720", "WIDERFACE-M")):
+        for stage in ("input", "stem", "backbone", "neck", "net", "full"):
+            out.append(dict(
+                id=f"attrib-int8-{tag}-{stage}", tool="bench_int8_attrib.py",
+                marker="ATTRIB_RESULT ",
+                args=[model, str(h), str(w), stage], env={},
+                timeout=2400,
+            ))
+    for stage in ("input", "stem", "backbone", "neck", "net", "full"):
+        out.append(dict(
+            id=f"attrib-int8-TTS-1080-{stage}", tool="bench_int8_attrib.py",
+            marker="ATTRIB_RESULT ",
+            args=["TT100K-S", "1080", "1920", stage], env={},
+            timeout=2400,
+        ))
+    for stage in ("probs", "top1", "cand", "nms", "out"):
+        out.append(dict(
+            id=f"attrib-dec-TTS-1080-{stage}", tool="bench_decode_attrib.py",
+            marker="ATTRIB_RESULT ",
+            args=["TT100K-S", "1080", "1920", stage], env={},
+            timeout=2400,
+        ))
+
+    # --- 9: 4K tail (slowest; only on a long round) ---
     wall("int8-bf16head-L-2160", "WIDERFACE-L", "int8", 2160, 3840,
          loops=120, kwargs={"int8_head_dtype": "bf16"}, timeout=3600)
     wall("int8-s2d-bf16head-L-2160", "WIDERFACE-L", "int8", 2160, 3840,
@@ -161,6 +207,13 @@ def cells():
          timeout=3600)
     wall("int8-bf16head-M-2160", "WIDERFACE-M", "int8", 2160, 3840,
          loops=120, kwargs={"int8_head_dtype": "bf16"}, timeout=3600)
+    for stage in ("input", "stem", "backbone", "neck", "net", "full"):
+        out.append(dict(
+            id=f"attrib-int8-L-2160-{stage}", tool="bench_int8_attrib.py",
+            marker="ATTRIB_RESULT ",
+            args=["WIDERFACE-L", "2160", "3840", stage], env={},
+            timeout=3600,
+        ))
 
     return out
 
