@@ -32,7 +32,15 @@ import numpy as np
 def _fetch(out):
     """Device result -> host (numpy) result; blocks until computed.
     Tree-mapped so namedtuple/dataclass outputs reconstruct correctly
-    (a hand-rolled `type(out)(gen)` breaks namedtuple constructors)."""
+    (a hand-rolled `type(out)(gen)` breaks namedtuple constructors).
+
+    Starts EVERY leaf's D2H copy before the first blocking read: a
+    blocking `np.asarray` per leaf pays the link round trip serially
+    (~30 ms/buffer on the remote tunnel — a 4-buffer decode dict cost
+    ~121 ms/image in the round-4 sync rows), while `copy_to_host_async`
+    on all leaves first lets the copies run concurrently, so a
+    multi-buffer result pays ~ONE round trip total."""
+    _prefetch(out)
     return jax.tree.map(np.asarray, out)
 
 

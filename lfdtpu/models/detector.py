@@ -428,6 +428,13 @@ class LFD:
         )
         run = self._batched_decode_jit(input_hw, spec)
         decoded = run(outputs, jnp.asarray(valid_hws), self.level_arrays(input_hw))
+        # materialize the whole batch in ~one link round trip (concurrent
+        # D2H copies), then slice on host — per-image device slices would
+        # pay a round trip per field per image
+        from ..ops.decode import prefetch_to_host
+
+        prefetch_to_host(decoded)
+        decoded = {k: np.asarray(v) for k, v in decoded.items()}
         results = []
         for i in range(B):
             scale = (meta_batch[i] or {}).get("resize_scale", 1.0)
@@ -534,7 +541,11 @@ class LFD:
         padded = np.zeros((eh, ew, image.shape[2]), image.dtype)
         padded[:h, :w] = image
         decoded = engine(padded[None], np.asarray([h, w], np.float32))
-        return detections_to_lists({k: v[0] for k, v in decoded.items()})
+        from ..ops.decode import prefetch_to_host
+
+        prefetch_to_host(decoded)
+        return detections_to_lists(
+            {k: np.asarray(v)[0] for k, v in decoded.items()})
 
     def predict_for_batch_with_engine(self, engine, images, aug_pipeline=None):
         """Batched engine predict for throughput serving (no reference
@@ -575,6 +586,10 @@ class LFD:
             batch[i, :h, :w] = image
             hws[i] = (h, w)
         decoded = engine(batch, hws)
+        from ..ops.decode import prefetch_to_host
+
+        prefetch_to_host(decoded)
+        decoded = {k: np.asarray(v) for k, v in decoded.items()}
         return [
             detections_to_lists({k: v[i] for k, v in decoded.items()})
             for i in range(len(images))
