@@ -20,4 +20,41 @@
 
 __version__ = "0.1.0"
 
-from . import ops  # noqa: F401
+
+def _enable_persistent_compilation_cache():
+    """Point JAX's persistent compilation cache at a writable directory.
+
+    Engine builds on the remote-attached TPU backend cost minutes per
+    program; the persistent cache makes every repeat build (same model,
+    shape, precision, knobs) a sub-second deserialize instead.  Timed
+    sections are unaffected: a cache hit yields the identical executable.
+
+    Resolution order:
+      - ``LFD_DISABLE_JAX_CACHE=1`` disables entirely;
+      - an already-configured cache dir (``JAX_COMPILATION_CACHE_DIR`` or
+        explicit ``jax.config.update``) is respected untouched;
+      - ``LFD_JAX_CACHE_DIR`` overrides the location;
+      - otherwise ``<checkout root>/.jax_cache`` next to this package.
+    """
+    import os
+
+    if os.environ.get("LFD_DISABLE_JAX_CACHE"):
+        return
+    try:
+        import jax
+
+        if jax.config.jax_compilation_cache_dir:
+            return
+        cache = os.environ.get("LFD_JAX_CACHE_DIR") or os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            ".jax_cache",
+        )
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+    except Exception:  # never block import on cache setup
+        pass
+
+
+_enable_persistent_compilation_cache()
+
+from . import ops  # noqa: F401, E402
