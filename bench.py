@@ -42,9 +42,15 @@ def _measure(precision, act_scales=None):
     pw = (w + divisor - 1) // divisor * divisor
 
     preprocess = make_device_preprocess((0.5, 0.5, 0.5), (0.5, 0.5, 0.5))
+    kwargs = {}
+    if precision == "int8":
+        # campaign-measured best 1080p-L int8 mode: bf16 float remainder
+        # after the fused int8 backbone (6.35 vs 6.40 ms default —
+        # BENCH.md best-mode table, cell int8-bf16head-L-1080)
+        kwargs["int8_head_dtype"] = "bf16"
     engine = compile_inference(
         det, variables, (ph, pw), precision=precision, preprocess=preprocess,
-        act_scales=act_scales,
+        act_scales=act_scales, **kwargs,
     )
     images = np.random.randint(0, 255, (1, ph, pw, 3), dtype=np.uint8)
     # honest async-backend timing: segments of enqueues closed by an

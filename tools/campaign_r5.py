@@ -94,37 +94,53 @@ def cells():
             env=env, timeout=timeout,
         ))
 
-    # Wall-clock-aware ordering (this host compiles ~5-9 min/cell with no
-    # persistent executable cache): the cells that close VERDICT items
-    # run first; diagnostics and 4K tails run only if time remains.
+    # Wall-clock-aware ordering, re-cut after the round-5 stall: the
+    # cells whose numbers are ALREADY CITED in BENCH.md's devaug tables
+    # (evidence-integrity) run first, then the VERDICT-item closers;
+    # diagnostics and 4K tails run only if time remains.
 
-    # --- 1: stream-block pathology (VERDICT #5): depth sweep. Short
-    # timed sections; the serving guidance blocks on these. ---
-    for depth in (4, 16, 64):
-        stream(f"stream-block-d{depth}-S-bf16-480", "WIDERFACE-S", "bf16",
-               480, 640, images=200, depth=depth, mode="stream")
-    stream("stream-block-pack-d64-S-bf16-480", "WIDERFACE-S", "bf16",
-           480, 640, images=200, depth=64, mode="stream",
-           kwargs={"pack_output": True})
-
-    # --- 2: loader feed-rate evidence for the published devaug table
-    # (host-only, ~1 min; the r5 jsonl that first measured it was lost
-    # before commit) ---
+    # --- 1: evidence for the PUBLISHED devaug tables (the r5 jsonl that
+    # first measured them was lost before commit). loader cell is
+    # host-only (~2 min). ---
     out.append(dict(
         id="loader-bench-devaug-r5", tool="bench_loader.py",
         marker="LOADER_RESULT ", args=["--batches", "12"], env={},
         timeout=1800,
     ))
+    for model, tag, prec in [("WIDERFACE-S", "S", "fp32"),
+                             ("WIDERFACE-L", "L", "bf16")]:
+        out.append(dict(
+            id=f"trainstep-{tag}-{prec}-devaug-b64-480",
+            tool="bench_train_step.py", marker="TRAIN_RESULT ",
+            args=[model, "64", "480", "20", prec, "devaug"], env={},
+            timeout=2400,
+        ))
 
-    # --- 3: quantized outputs (VERDICT #7) at the headline cell ---
+    # --- 2: quantized outputs (VERDICT #7) at the headline cell,
+    # then the serving story's remaining re-measured baselines ---
     wall("qout-L-int8-1080", "WIDERFACE-L", "int8", 1080, 1920,
          kwargs={"output_dtype": "f16"})
-    wall("qout-pack-L-int8-1080", "WIDERFACE-L", "int8", 1080, 1920,
-         kwargs={"output_dtype": "f16", "pack_output": True})
+    stream("sync-pack-L-int8-1080-fix", "WIDERFACE-L", "int8",
+           1080, 1920, images=200, depth=1, mode="sync",
+           kwargs={"pack_output": True})
     # quantized-output serving at the headline serving cell
     stream("stream-async-qout-L-int8-1080", "WIDERFACE-L", "int8",
            1080, 1920, images=300, depth=8, mode="stream-async",
            kwargs={"output_dtype": "f16", "pack_output": True})
+    stream("stream-block-d8-L-int8-1080-fix", "WIDERFACE-L", "int8",
+           1080, 1920, images=300, depth=8, mode="stream")
+    stream("sync-S-bf16-480-fix", "WIDERFACE-S", "bf16",
+           480, 640, images=200, depth=1, mode="sync")
+    wall("qout-pack-L-int8-1080", "WIDERFACE-L", "int8", 1080, 1920,
+         kwargs={"output_dtype": "f16", "pack_output": True})
+
+    # --- 3: int8 knobs at the losing cells (VERDICT #3 flip attempts) ---
+    wall("int8-bf16head-L-480", "WIDERFACE-L", "int8", 480, 640,
+         kwargs={"int8_head_dtype": "bf16"})
+    wall("int8-bf16head-M-720", "WIDERFACE-M", "int8", 720, 1280,
+         kwargs={"int8_head_dtype": "bf16"})
+    dev("dev-int8-bf16head-M-720", "WIDERFACE-M", "int8", 720, 1280,
+        kwargs={"int8_head_dtype": "bf16"})
 
     # --- 4: TT100K-S 1080p (VERDICT #4): device baseline + knobs ---
     dev("dev-int8-TTS-1080", "TT100K-S", "int8", 1080, 1920)
@@ -138,25 +154,10 @@ def cells():
         timeout=1800,
     ))
 
-    # --- 5: device-aug train step (VERDICT #2: the device half's price;
-    # evidence rows for the published BENCH table) ---
-    for model, tag, prec in [("WIDERFACE-S", "S", "bf16"),
-                             ("WIDERFACE-S", "S", "fp32"),
-                             ("WIDERFACE-L", "L", "bf16")]:
-        out.append(dict(
-            id=f"trainstep-{tag}-{prec}-devaug-b64-480",
-            tool="bench_train_step.py", marker="TRAIN_RESULT ",
-            args=[model, "64", "480", "20", prec, "devaug"], env={},
-            timeout=2400,
-        ))
-
-    # --- 6: int8 knobs at the losing cells (VERDICT #3 flip attempts) ---
-    wall("int8-bf16head-L-480", "WIDERFACE-L", "int8", 480, 640,
-         kwargs={"int8_head_dtype": "bf16"})
-    wall("int8-bf16head-M-720", "WIDERFACE-M", "int8", 720, 1280,
-         kwargs={"int8_head_dtype": "bf16"})
-    dev("dev-int8-bf16head-M-720", "WIDERFACE-M", "int8", 720, 1280,
-        kwargs={"int8_head_dtype": "bf16"})
+    # --- 5: stream-block pack variant (the depth sweep itself landed) ---
+    stream("stream-block-pack-d64-S-bf16-480", "WIDERFACE-S", "bf16",
+           480, 640, images=200, depth=64, mode="stream",
+           kwargs={"pack_output": True})
 
     # --- 7: second-line cells: more TT100K knobs + qout-bf16 ---
     out.append(dict(
