@@ -92,6 +92,32 @@ def prepare_data_pipeline(config_dict):
     train_region_sampler = RandomBBoxCropRegionSampler(
         crop_size=crop, resize_range=(0.5, 1.5), resize_prob=0.5
     )
+    # LFD_DEVICE_AUG=1: resample+normalize move into the jitted train step
+    # (data/device_aug.py); flip_p=0.0 — TT100K has NO horizontal flip
+    # (signs are not symmetric, `TT100K_augmentation_pipeline.py:8`), so
+    # only the crop resample and the simple_normalize run on device.
+    if _env_int("LFD_DEVICE_AUG", 0):
+        import numpy as _np
+
+        from lfdtpu.data import DeviceAugRegionSampler, make_device_augment
+        from lfdtpu.deploy import make_device_preprocess
+
+        config_dict["device_augment"] = make_device_augment(
+            crop,
+            normalize=make_device_preprocess((0.5,) * 3, (0.5,) * 3),
+        )
+        config_dict["train_data_loader"] = DataLoader(
+            dataset=train_dataset,
+            dataset_sampler=train_dataset_sampler,
+            region_sampler=DeviceAugRegionSampler(
+                train_region_sampler, flip_p=0.0
+            ),
+            augmentation_pipeline=None,
+            num_workers=config_dict["num_train_workers"],
+            max_boxes_per_image=100,
+            image_dtype=_np.uint8,
+        )
+        return
     config_dict["train_data_loader"] = DataLoader(
         dataset=train_dataset,
         dataset_sampler=train_dataset_sampler,

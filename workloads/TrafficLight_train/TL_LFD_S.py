@@ -49,7 +49,7 @@ def prepare_common_settings():
     sys.excepthook = customize_exception_hook(
         os.path.join(config_dict["work_dir"], "exception_log_" + config_dict["timestamp"] + ".log")
     )
-    config_dict["training_epochs"] = 500
+    config_dict["training_epochs"] = int(os.environ.get("LFD_EPOCHS", 500))
     config_dict["seed"] = 666
     set_random_seed(config_dict["seed"])
     config_dict["display_interval"] = 100
@@ -67,16 +67,45 @@ def prepare_model():
 
 
 def prepare_data_pipeline():
-    config_dict["batch_size"] = 4
-    config_dict["num_train_workers"] = 4
-    config_dict["train_dataset_path"] = "./TL_pack/tl_train.pkl"
-    config_dict["input_hw"] = (640, 640)
+    # LFD_* env overrides mirror the other workloads: they let CI and the
+    # TPU verify drive run this real entry point on a tiny pack.
+    config_dict["batch_size"] = int(os.environ.get("LFD_BATCH_SIZE", 4))
+    config_dict["num_train_workers"] = int(os.environ.get("LFD_NUM_WORKERS", 4))
+    config_dict["train_dataset_path"] = os.environ.get(
+        "LFD_DATASET_PATH", "./TL_pack/tl_train.pkl")
+    crop = int(os.environ.get("LFD_CROP_SIZE", 640))
+    config_dict["input_hw"] = (crop, crop)
     train_dataset = Dataset(load_path=config_dict["train_dataset_path"])
     sampler = RandomWithNegDatasetSampler(
         train_dataset, batch_size=config_dict["batch_size"], neg_ratio=0.2,
         shuffle=True, ignore_last=False,
     )
-    region = RandomBBoxCropRegionSampler(crop_size=640, resize_range=(0.5, 1.5), resize_prob=0.5)
+    region = RandomBBoxCropRegionSampler(crop_size=crop, resize_range=(0.5, 1.5), resize_prob=0.5)
+    # LFD_DEVICE_AUG=1: resample+flip+BGR2RGB+imagenet-normalize move into
+    # the jitted train step (data/device_aug.py). Flip stays 0.5 (the TL
+    # pipeline flips, `TL_augmentation_pipeline.py:12`); the channel swap
+    # and standard_normalize fold into make_device_preprocess(bgr2rgb).
+    if int(os.environ.get("LFD_DEVICE_AUG", 0)):
+        import numpy as _np
+
+        from lfdtpu.data import DeviceAugRegionSampler, make_device_augment
+        from lfdtpu.deploy import make_device_preprocess
+
+        config_dict["device_augment"] = make_device_augment(
+            crop,
+            normalize=make_device_preprocess(
+                (0.485, 0.456, 0.406), (0.229, 0.224, 0.225), bgr2rgb=True
+            ),
+        )
+        config_dict["train_data_loader"] = DataLoader(
+            dataset=train_dataset, dataset_sampler=sampler,
+            region_sampler=DeviceAugRegionSampler(region, flip_p=0.5),
+            augmentation_pipeline=None,
+            num_workers=config_dict["num_train_workers"],
+            max_boxes_per_image=100,
+            image_dtype=_np.uint8,
+        )
+        return
     config_dict["train_data_loader"] = DataLoader(
         dataset=train_dataset, dataset_sampler=sampler, region_sampler=region,
         augmentation_pipeline=tl_train_pipeline,
